@@ -1,0 +1,87 @@
+"""Model smoke tests and streaming-cache consistency on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vda_tpu.models.vda import (
+    forward,
+    forward_depth,
+    forward_features,
+    init_video_depth_anything,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tiny_cfg):
+    params = init_video_depth_anything(jax.random.PRNGKey(0), tiny_cfg)
+    return params
+
+
+def test_forward_shapes(tiny_model, tiny_cfg):
+    b, t, s = 1, 4, tiny_cfg.vit.img_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, s, s, 3), jnp.float32)
+    depth = forward(tiny_model, x, tiny_cfg)
+    assert depth.shape == (b, t, s, s)
+    assert np.all(np.asarray(depth) >= 0)
+
+
+def test_forward_micro_batched_tail_matches_unchunked(tiny_model, tiny_cfg):
+    """lax.scan micro-batching of the decoder tail must be a pure memory
+    optimization (reference dpt_temporal.py:96-123)."""
+    b, t, s = 1, 8, tiny_cfg.vit.img_size
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, t, s, s, 3), jnp.float32)
+    d_chunked = forward(tiny_model, x, tiny_cfg, micro_batch_size=4)
+    d_full = forward(tiny_model, x, tiny_cfg, micro_batch_size=t)
+    np.testing.assert_allclose(np.asarray(d_chunked), np.asarray(d_full),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cache_returns_eight_tensors(tiny_model, tiny_cfg):
+    b, t, s = 1, 4, tiny_cfg.vit.img_size
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, t, s, s, 3), jnp.float32)
+    feats = forward_features(tiny_model, x, tiny_cfg)
+    depth, caches = forward_depth(tiny_model, feats, x.shape, tiny_cfg)
+    assert len(caches) == 8
+    for c in caches:
+        assert c.ndim == 3 and c.shape[1] == t
+
+
+def test_streaming_cache_matches_offline_last_frame(tiny_model, tiny_cfg):
+    """Running the head on the last frame with the cache of the first T-1
+    frames must reproduce the offline window's last-frame depth exactly
+    (reference motion_module.py:249-274 cache semantics)."""
+    b, t, s = 1, 4, tiny_cfg.vit.img_size
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, t, s, s, 3), jnp.float32)
+
+    feats = forward_features(tiny_model, x, tiny_cfg)
+    depth_full, caches = forward_depth(tiny_model, feats, x.shape, tiny_cfg)
+
+    # Slice the last frame's features out of the SAME encoder pass so the
+    # comparison isolates cache semantics from fp32 batch-reduction noise.
+    x_last = x[:, -1:]
+    feats_last = [(tok[-1:], cls[-1:]) for tok, cls in feats]
+    cache_prefix = [c[:, :-1] for c in caches]
+    depth_last, new_caches = forward_depth(
+        tiny_model, feats_last, x_last.shape, tiny_cfg,
+        cached_hidden_state_list=cache_prefix)
+
+    np.testing.assert_allclose(
+        np.asarray(depth_last[:, 0]), np.asarray(depth_full[:, -1]),
+        rtol=2e-4, atol=2e-5)
+    # new caches cover only the new frame
+    for nc, full in zip(new_caches, caches):
+        assert nc.shape[1] == 1
+        np.testing.assert_allclose(np.asarray(nc[:, 0]),
+                                   np.asarray(full[:, -1]),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_forward_bf16_close_to_fp32(tiny_model, tiny_cfg):
+    b, t, s = 1, 4, tiny_cfg.vit.img_size
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, t, s, s, 3), jnp.float32)
+    d32 = np.asarray(forward(tiny_model, x, tiny_cfg))
+    d16 = np.asarray(forward(tiny_model, x.astype(jnp.bfloat16), tiny_cfg))
+    scale = max(np.abs(d32).max(), 1e-6)
+    assert np.abs(d16.astype(np.float32) - d32).max() / scale < 0.1

@@ -1,0 +1,190 @@
+"""Numerical parity of core ops vs torch / cv2 semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import requires_torch
+from vda_tpu.ops.layers import (
+    conv2d,
+    conv_transpose_same_stride,
+    gelu,
+    group_norm,
+    layer_norm,
+)
+from vda_tpu.ops.resize import resize_bicubic, resize_bilinear
+
+RNG = np.random.default_rng(0)
+
+
+@requires_torch
+class TestResize:
+    def test_bilinear_align_corners_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = RNG.standard_normal((2, 17, 23, 5)).astype(np.float32)
+        for out_hw in [(34, 46), (37, 37), (100, 50), (9, 11)]:
+            ours = np.asarray(resize_bilinear(jnp.asarray(x), out_hw,
+                                              align_corners=True))
+            theirs = F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+                mode="bilinear", align_corners=True,
+            ).permute(0, 2, 3, 1).numpy()
+            np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+    def test_bilinear_scale2_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = RNG.standard_normal((1, 13, 13, 4)).astype(np.float32)
+        ours = np.asarray(resize_bilinear(jnp.asarray(x), (26, 26),
+                                          align_corners=True))
+        theirs = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2,
+            mode="bilinear", align_corners=True,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+    def test_bicubic_halfpixel_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = RNG.standard_normal((1, 37, 37, 8)).astype(np.float32)
+        for out_hw in [(74, 74), (19, 19), (52, 52)]:
+            ours = np.asarray(resize_bicubic(jnp.asarray(x), out_hw,
+                                             align_corners=False))
+            theirs = F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+                mode="bicubic", align_corners=False,
+            ).permute(0, 2, 3, 1).numpy()
+            np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    def test_bicubic_explicit_scale_matches_torch_posembed_path(self):
+        # Reference dinov2.py:198-205: interpolate(scale_factor=(sx, sy)),
+        # where sx = (w0 + 0.1) / sqrt(N).
+        import torch
+        import torch.nn.functional as F
+
+        side, d = 37, 16
+        x = RNG.standard_normal((1, side, side, d)).astype(np.float32)
+        for grid in [(24, 24), (30, 40)]:
+            sh = (grid[0] + 0.1) / side
+            sw = (grid[1] + 0.1) / side
+            ours = np.asarray(resize_bicubic(jnp.asarray(x), grid,
+                                             align_corners=False,
+                                             scale=(sh, sw)))
+            theirs = F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                scale_factor=(sh, sw), mode="bicubic",
+            ).permute(0, 2, 3, 1).numpy()
+            assert theirs.shape == ours.shape
+            np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    def test_bicubic_matches_cv2(self):
+        import cv2
+
+        x = (RNG.random((63, 91, 3)) * 255).astype(np.float32)
+        for out_hw in [(518, 742), (126, 182)]:
+            ours = np.asarray(resize_bicubic(jnp.asarray(x), out_hw))
+            theirs = cv2.resize(x, (out_hw[1], out_hw[0]),
+                                interpolation=cv2.INTER_CUBIC)
+            np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-2)
+
+
+@requires_torch
+class TestLayers:
+    def test_layer_norm(self):
+        import torch
+
+        d = 48
+        x = RNG.standard_normal((3, 7, d)).astype(np.float32)
+        scale = RNG.standard_normal(d).astype(np.float32)
+        bias = RNG.standard_normal(d).astype(np.float32)
+        ours = np.asarray(layer_norm({"scale": jnp.asarray(scale),
+                                      "bias": jnp.asarray(bias)},
+                                     jnp.asarray(x), eps=1e-6))
+        ln = torch.nn.LayerNorm(d, eps=1e-6)
+        ln.weight.data = torch.from_numpy(scale)
+        ln.bias.data = torch.from_numpy(bias)
+        theirs = ln(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+    def test_group_norm(self):
+        import torch
+
+        c, g = 64, 32
+        x = RNG.standard_normal((2, 5, 6, c)).astype(np.float32)
+        scale = RNG.standard_normal(c).astype(np.float32)
+        bias = RNG.standard_normal(c).astype(np.float32)
+        ours = np.asarray(group_norm({"scale": jnp.asarray(scale),
+                                      "bias": jnp.asarray(bias)},
+                                     jnp.asarray(x), g, eps=1e-6))
+        gn = torch.nn.GroupNorm(g, c, eps=1e-6)
+        gn.weight.data = torch.from_numpy(scale)
+        gn.bias.data = torch.from_numpy(bias)
+        theirs = gn(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).detach().numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_gelu_exact(self):
+        import torch
+
+        x = np.linspace(-4, 4, 101).astype(np.float32)
+        ours = np.asarray(gelu(jnp.asarray(x)))
+        theirs = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+    def test_conv2d_matches_torch(self):
+        import torch
+
+        cin, cout = 8, 16
+        x = RNG.standard_normal((2, 9, 9, cin)).astype(np.float32)
+        w = RNG.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.1
+        b = RNG.standard_normal(cout).astype(np.float32)
+        p = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+             "b": jnp.asarray(b)}
+        for stride, pad in [(1, 1), (2, 1)]:
+            ours = np.asarray(conv2d(p, jnp.asarray(x), stride=stride,
+                                     padding=pad))
+            theirs = torch.nn.functional.conv2d(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                torch.from_numpy(w), torch.from_numpy(b),
+                stride=stride, padding=pad,
+            ).permute(0, 2, 3, 1).numpy()
+            np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_conv_transpose_same_stride_matches_torch(self, k):
+        import torch
+
+        cin, cout = 6, 10
+        x = RNG.standard_normal((2, 5, 7, cin)).astype(np.float32)
+        w = RNG.standard_normal((cin, cout, k, k)).astype(np.float32) * 0.1
+        b = RNG.standard_normal(cout).astype(np.float32)
+        p = {"w": jnp.asarray(np.transpose(w, (0, 2, 3, 1))),
+             "b": jnp.asarray(b)}
+        ours = np.asarray(conv_transpose_same_stride(p, jnp.asarray(x), k))
+        theirs = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(w), torch.from_numpy(b), stride=k,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TestAttention:
+    def test_xla_attention_reference(self):
+        from vda_tpu.ops.attention import dot_product_attention
+
+        b, n, h, d = 2, 10, 3, 8
+        q = jnp.asarray(RNG.standard_normal((b, n, h, d)).astype(np.float32))
+        k = jnp.asarray(RNG.standard_normal((b, n, h, d)).astype(np.float32))
+        v = jnp.asarray(RNG.standard_normal((b, n, h, d)).astype(np.float32))
+        out = dot_product_attention(q, k, v, impl="xla")
+        # naive reference
+        scale = d ** -0.5
+        logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        ref = np.einsum("bhqk,bkhd->bqhd", probs, v)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,190 @@
+"""DINOv2 ViT encoder, functional JAX.
+
+Rebuild of the reference encoder (reference video_depth_anything/dinov2.py and
+dinov2_layers/) as a pure function over a params pytree:
+
+  * pre-norm ViT blocks with LayerScale (reference dinov2_layers/block.py:82-107)
+  * fused-qkv attention via ops.attention (replaces xFormers MemEffAttention,
+    reference dinov2_layers/attention.py:65-82)
+  * conv patch embed, patch 14 (reference dinov2_layers/patch_embed.py:69-85)
+  * bicubic pos-embed interpolation with the DINOv2 +0.1 offset workaround
+    (reference dinov2.py:179-210)
+  * ``encode`` == reference ``get_intermediate_layers(x, n, return_class_token=
+    True)`` (reference dinov2.py:297-321): final LayerNorm applied to each tap,
+    cls/patch split
+
+Layout: NHWC input images, tokens (B, N, D).  All params fp32; compute dtype
+follows the input.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vda_tpu.config import EncoderConfig
+from vda_tpu.ops.attention import dot_product_attention
+from vda_tpu.ops.layers import (
+    gelu,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+)
+from vda_tpu.ops.resize import resize_bicubic
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def init_block(key, cfg: EncoderConfig):
+    d = cfg.embed_dim
+    keys = jax.random.split(key, 8)
+    if cfg.ffn_layer == "swiglufused":
+        hidden = (int(int(d * cfg.mlp_ratio) * 2 / 3) + 7) // 8 * 8
+        mlp = {
+            "w12": init_linear(keys[2], d, 2 * hidden),
+            "w3": init_linear(keys[3], hidden, d),
+        }
+    else:
+        hidden = int(d * cfg.mlp_ratio)
+        mlp = {
+            "fc1": init_linear(keys[2], d, hidden),
+            "fc2": init_linear(keys[3], hidden, d),
+        }
+    return {
+        "norm1": init_layer_norm(d),
+        "attn": {
+            "qkv": {"w": _trunc_normal(keys[0], (d, 3 * d)),
+                    "b": jnp.zeros((3 * d,))},
+            "proj": {"w": _trunc_normal(keys[1], (d, d)),
+                     "b": jnp.zeros((d,))},
+        },
+        "ls1": jnp.full((d,), cfg.init_values, jnp.float32),
+        "norm2": init_layer_norm(d),
+        "mlp": mlp,
+        "ls2": jnp.full((d,), cfg.init_values, jnp.float32),
+    }
+
+
+def init_encoder(key, cfg: EncoderConfig):
+    d = cfg.embed_dim
+    p = cfg.patch_size
+    keys = jax.random.split(key, cfg.depth + 4)
+    return {
+        "cls_token": 1e-6 * jax.random.normal(keys[0], (d,), jnp.float32),
+        "pos_embed": _trunc_normal(keys[1], (1, cfg.num_patches + 1, d)),
+        "mask_token": jnp.zeros((d,), jnp.float32),
+        "patch_embed": {
+            "w": _trunc_normal(keys[2], (p, p, 3, d)),
+            "b": jnp.zeros((d,)),
+        },
+        "blocks": [init_block(keys[4 + i], cfg) for i in range(cfg.depth)],
+        "norm": init_layer_norm(d),
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _patch_embed(p, x):
+    """(B, H, W, 3) -> (B, ph*pw, D) via k=s=14 conv == block-reshape matmul."""
+    b, h, w, c = x.shape
+    k = p["w"].shape[0]
+    ph, pw = h // k, w // k
+    # k == stride conv is a pure matmul over non-overlapping patches; express
+    # it directly so XLA always lowers to one large MXU matmul.
+    xx = x.reshape(b, ph, k, pw, k, c)
+    xx = xx.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph * pw, k * k * c)
+    wk = p["w"].astype(x.dtype).transpose(0, 1, 2, 3).reshape(k * k * c, -1)
+    return jnp.matmul(xx, wk) + p["b"].astype(x.dtype)
+
+
+def _interp_pos_embed(pos_embed, grid_hw, cfg: EncoderConfig):
+    """Reference dinov2.py:179-210 — bicubic with explicit scale_factor and
+    the +interpolate_offset workaround, computed in fp32."""
+    ph, pw = grid_hw
+    n = pos_embed.shape[1] - 1
+    side = int(math.sqrt(n))
+    if ph * pw == n and ph == pw:
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:].reshape(1, side, side, -1)
+    sh = (ph + cfg.interpolate_offset) / side
+    sw = (pw + cfg.interpolate_offset) / side
+    patch_pos = resize_bicubic(patch_pos.astype(jnp.float32), (ph, pw),
+                               align_corners=False, scale=(sh, sw))
+    patch_pos = patch_pos.reshape(1, ph * pw, -1)
+    return jnp.concatenate([cls_pos, patch_pos.astype(pos_embed.dtype)], axis=1)
+
+
+def _attention(p, x, num_heads: int, attn_impl: str):
+    b, n, d = x.shape
+    dh = d // num_heads
+    qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    o = dot_product_attention(q, k, v, scale=dh ** -0.5, impl=attn_impl)
+    return linear(p["proj"], o.reshape(b, n, d))
+
+
+def _mlp(p, x, ffn_layer: str):
+    if ffn_layer == "swiglufused":
+        x12 = linear(p["w12"], x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return linear(p["w3"], jax.nn.silu(x1) * x2)
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto"):
+    """Pre-norm block: x + ls1*attn(n1(x)); x + ls2*mlp(n2(x))
+    (reference dinov2_layers/block.py:82-107, inference path)."""
+    h = _attention(p["attn"], layer_norm(p["norm1"], x), cfg.num_heads, attn_impl)
+    x = x + h * p["ls1"].astype(h.dtype)
+    h = _mlp(p["mlp"], layer_norm(p["norm2"], x), cfg.ffn_layer)
+    x = x + h * p["ls2"].astype(h.dtype)
+    return x
+
+
+def prepare_tokens(params, x, cfg: EncoderConfig):
+    """Patch-embed + cls token + (interpolated) position embedding
+    (reference dinov2.py:212-231)."""
+    b, h, w, _ = x.shape
+    grid = (h // cfg.patch_size, w // cfg.patch_size)
+    tokens = _patch_embed(params["patch_embed"], x)
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
+                           (b, 1, tokens.shape[-1]))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = _interp_pos_embed(params["pos_embed"], grid, cfg)
+    return tokens + pos.astype(tokens.dtype)
+
+
+def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
+           attn_impl: str = "auto"):
+    """Reference get_intermediate_layers(x, tap_idx, return_class_token=True)
+    (dinov2.py:297-321).
+
+    x: (B, H, W, 3) normalized images.
+    Returns list of (patch_tokens (B, N, D), cls_token (B, D)) per tap, with
+    the final LayerNorm applied to each tap.
+    """
+    taps = set(tap_idx)
+    h = prepare_tokens(params, x, cfg)
+    out = {}
+    for i, bp in enumerate(params["blocks"]):
+        h = block_apply(bp, h, cfg, attn_impl)
+        if i in taps:
+            out[i] = h
+    result = []
+    for i in tap_idx:
+        t = layer_norm(params["norm"], out[i])
+        result.append((t[:, 1 + cfg.num_register_tokens:], t[:, 0]))
+    return result

@@ -1,0 +1,242 @@
+"""DPT decoder head (spatial + temporal variants), functional JAX.
+
+Rebuild of reference video_depth_anything/dpt.py, dpt_temporal.py and
+util/blocks.py:
+
+  * 4x 1x1 conv projections + resize layers (4x/2x "deconv", identity,
+    stride-2 conv) — reference dpt.py:60-90.  The k==stride deconvs are
+    expressed as a single matmul+reshape (ops.conv_transpose_same_stride).
+  * _make_scratch 3x3 convs (no bias) — reference util/blocks.py:4-34
+  * FeatureFusionBlock with ResidualConvUnits and bilinear align_corners=True
+    upsampling — reference util/blocks.py:94-162
+  * output head conv1 -> bilinear to (14*ph, 14*pw) -> conv2 stack, with the
+    conv2 stack forced to fp32 exactly like the reference's disabled-autocast
+    island (reference dpt_temporal.py:105-108)
+  * DPTHeadTemporal: four TemporalModules at layer_3, layer_4, after
+    refinenet4 and after refinenet3 (reference dpt_temporal.py:42-51, 79-94),
+    streaming-cache threading, and micro-batching of the high-resolution tail
+    via lax.scan (reference dpt_temporal.py:96-123 uses a Python loop; a scan
+    keeps the XLA graph compact and the working set bounded on TPU)
+
+Layout: NHWC throughout; tokens arrive (B*T, N, D) from the encoder.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vda_tpu.config import ModelConfig
+from vda_tpu.models.temporal import init_temporal_module, temporal_module_apply
+from vda_tpu.ops.layers import (
+    conv2d,
+    conv_transpose_same_stride,
+    init_conv2d,
+    init_conv_transpose,
+)
+from vda_tpu.ops.resize import resize_bilinear
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_rcu(key, f):
+    k1, k2 = jax.random.split(key)
+    return {"conv1": init_conv2d(k1, 3, f, f), "conv2": init_conv2d(k2, 3, f, f)}
+
+
+def _init_fusion(key, f):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "rcu1": _init_rcu(k1, f),
+        "rcu2": _init_rcu(k2, f),
+        "out_conv": init_conv2d(k3, 1, f, f),
+    }
+
+
+def init_dpt_head(key, cfg: ModelConfig, temporal: bool = True):
+    d = cfg.vit.embed_dim
+    f = cfg.features
+    oc = cfg.out_channels
+    keys = jax.random.split(key, 24)
+    p = {
+        "projects": [init_conv2d(keys[i], 1, d, oc[i]) for i in range(4)],
+        "resize0": init_conv_transpose(keys[4], 4, oc[0], oc[0]),
+        "resize1": init_conv_transpose(keys[5], 2, oc[1], oc[1]),
+        "resize3": init_conv2d(keys[6], 3, oc[3], oc[3]),
+        "scratch": {
+            f"layer{i+1}_rn": init_conv2d(keys[7 + i], 3, oc[i], f, bias=False)
+            for i in range(4)
+        },
+        "refinenet1": _init_fusion(keys[11], f),
+        "refinenet2": _init_fusion(keys[12], f),
+        "refinenet3": _init_fusion(keys[13], f),
+        "refinenet4": _init_fusion(keys[14], f),
+        "output_conv1": init_conv2d(keys[15], 3, f, f // 2),
+        "output_conv2": {
+            "conv0": init_conv2d(keys[16], 3, f // 2, 32),
+            "conv1": init_conv2d(keys[17], 1, 32, 1),
+        },
+    }
+    if temporal:
+        p["motion_modules"] = [
+            init_temporal_module(keys[18], oc[2], cfg),
+            init_temporal_module(keys[19], oc[3], cfg),
+            init_temporal_module(keys[20], f, cfg),
+            init_temporal_module(keys[21], f, cfg),
+        ]
+    return p
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def _rcu(p, x):
+    """ResidualConvUnit (reference util/blocks.py:68-91)."""
+    out = jax.nn.relu(x)
+    out = conv2d(p["conv1"], out, padding=1)
+    out = jax.nn.relu(out)
+    out = conv2d(p["conv2"], out, padding=1)
+    return out + x
+
+
+def _fusion(p, x, res=None, size=None):
+    """FeatureFusionBlock (reference util/blocks.py:135-162)."""
+    out = x
+    if res is not None:
+        out = out + _rcu(p["rcu1"], res)
+    out = _rcu(p["rcu2"], out)
+    if size is None:
+        size = (out.shape[1] * 2, out.shape[2] * 2)
+    out = resize_bilinear(out, size, align_corners=True)
+    return conv2d(p["out_conv"], out, padding=0)
+
+
+def _project_and_resize(p, features, patch_hw):
+    """Token taps -> four feature pyramids (reference dpt.py:126-141)."""
+    ph, pw = patch_hw
+    out = []
+    for i, (tokens, _cls) in enumerate(features):
+        bt, n, d = tokens.shape
+        x = tokens.reshape(bt, ph, pw, d)
+        x = conv2d(p["projects"][i], x, padding=0)
+        if i == 0:
+            x = conv_transpose_same_stride(p["resize0"], x, 4)
+        elif i == 1:
+            x = conv_transpose_same_stride(p["resize1"], x, 2)
+        elif i == 3:
+            x = conv2d(p["resize3"], x, stride=2, padding=1)
+        out.append(x)
+    return out
+
+
+def _output_tail(p, path_3, layer_2_rn, layer_1_rn, out_hw):
+    """refinenet2/1 + output convs; conv2 stack in fp32
+    (reference dpt_temporal.py:98-108)."""
+    path_2 = _fusion(p["refinenet2"], path_3, layer_2_rn,
+                     size=layer_1_rn.shape[1:3])
+    path_1 = _fusion(p["refinenet1"], path_2, layer_1_rn)
+    out = conv2d(p["output_conv1"], path_1, padding=1)
+    out = resize_bilinear(out, out_hw, align_corners=True)
+    ori_dtype = out.dtype
+    out32 = out.astype(jnp.float32)
+    out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv0"], out32, padding=1))
+    out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv1"], out32, padding=0))
+    return out32.astype(ori_dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def dpt_head_spatial_apply(p, features, patch_hw):
+    """Plain DPTHead forward (reference dpt.py:126-159).  Returns
+    (B, 14*ph, 14*pw, 1)."""
+    ph, pw = patch_hw
+    layer_1, layer_2, layer_3, layer_4 = _project_and_resize(p, features, patch_hw)
+    l1 = conv2d(p["scratch"]["layer1_rn"], layer_1, padding=1)
+    l2 = conv2d(p["scratch"]["layer2_rn"], layer_2, padding=1)
+    l3 = conv2d(p["scratch"]["layer3_rn"], layer_3, padding=1)
+    l4 = conv2d(p["scratch"]["layer4_rn"], layer_4, padding=1)
+    path_4 = _fusion(p["refinenet4"], l4, size=l3.shape[1:3])
+    path_3 = _fusion(p["refinenet3"], path_4, l3, size=l2.shape[1:3])
+    return _output_tail(p, path_3, l2, l1, (ph * 14, pw * 14))
+
+
+def _with_temporal(p_mm, x, cfg, frame_length, cache):
+    """Run a TemporalModule on (B*T, h, w, C) features."""
+    bt, hh, ww, c = x.shape
+    b = bt // frame_length
+    xt = x.reshape(b, frame_length, hh, ww, c)
+    yt, new_cache = temporal_module_apply(p_mm, xt, cfg, cache)
+    return yt.reshape(bt, hh, ww, c), new_cache
+
+
+def dpt_head_temporal_apply(
+    p,
+    features,
+    patch_hw: Tuple[int, int],
+    frame_length: int,
+    cfg: ModelConfig,
+    cached_hidden_state_list: Optional[List[jnp.ndarray]] = None,
+    micro_batch_size: int = 4,
+):
+    """DPTHeadTemporal forward (reference dpt_temporal.py:53-125).
+
+    features: list of 4 (tokens (B*T, N, D), cls) taps, T == frame_length
+    (number of NEW frames; 32 offline, 1 streaming).
+    Returns (depth (B*T, 14*ph, 14*pw, 1), new_cache_list[8]).
+    """
+    ph, pw = patch_hw
+    n_mm = len(p["motion_modules"])
+    n_cache = 0
+    if cached_hidden_state_list is not None:
+        n_cache = len(cached_hidden_state_list) // n_mm
+
+    def cache_slice(i):
+        if not n_cache:
+            return None
+        return cached_hidden_state_list[i * n_cache:(i + 1) * n_cache]
+
+    layer_1, layer_2, layer_3, layer_4 = _project_and_resize(p, features, patch_hw)
+
+    layer_3, h0 = _with_temporal(p["motion_modules"][0], layer_3, cfg,
+                                 frame_length, cache_slice(0))
+    layer_4, h1 = _with_temporal(p["motion_modules"][1], layer_4, cfg,
+                                 frame_length, cache_slice(1))
+
+    l1 = conv2d(p["scratch"]["layer1_rn"], layer_1, padding=1)
+    l2 = conv2d(p["scratch"]["layer2_rn"], layer_2, padding=1)
+    l3 = conv2d(p["scratch"]["layer3_rn"], layer_3, padding=1)
+    l4 = conv2d(p["scratch"]["layer4_rn"], layer_4, padding=1)
+
+    path_4 = _fusion(p["refinenet4"], l4, size=l3.shape[1:3])
+    path_4, h2 = _with_temporal(p["motion_modules"][2], path_4, cfg,
+                                frame_length, cache_slice(2))
+    path_3 = _fusion(p["refinenet3"], path_4, l3, size=l2.shape[1:3])
+    path_3, h3 = _with_temporal(p["motion_modules"][3], path_3, cfg,
+                                frame_length, cache_slice(3))
+
+    out_hw = (ph * 14, pw * 14)
+    batch = l1.shape[0]
+    if batch <= micro_batch_size or batch % micro_batch_size != 0:
+        depth = _output_tail(p, path_3, l2, l1, out_hw)
+    else:
+        mb = micro_batch_size
+        nc = batch // mb
+
+        def chunk(x):
+            return x.reshape(nc, mb, *x.shape[1:])
+
+        def body(_, xs):
+            p3, x2, x1 = xs
+            return None, _output_tail(p, p3, x2, x1, out_hw)
+
+        _, depth = jax.lax.scan(body, None, (chunk(path_3), chunk(l2), chunk(l1)))
+        depth = depth.reshape(batch, *depth.shape[2:])
+
+    return depth, h0 + h1 + h2 + h3

@@ -1,0 +1,224 @@
+"""Temporal motion module (AnimateDiff-style temporal transformer), JAX.
+
+Rebuild of reference video_depth_anything/motion_module/motion_module.py and
+motion_module/attention.py as pure functions:
+
+  * TemporalModule -> TemporalTransformer3DModel: GroupNorm(32) + proj_in,
+    N transformer blocks, zero-initialized proj_out, residual add, operating
+    per-pixel across time (reference motion_module.py:102-134)
+  * TemporalTransformerBlock: 2x (LayerNorm -> TemporalAttention -> residual)
+    then GEGLU FF + norm (reference motion_module.py:137-189)
+  * TemporalAttention: sinusoidal APE (reference motion_module.py:192-210) or
+    RoPE (reference motion_module/attention.py:403-429); KV-cache path where
+    the query covers only the new frame(s) and K/V span cache+new
+    (reference motion_module.py:249-274).  The values cached are the
+    *pre-position-encoding* hidden states (motion_module.py:251-254).
+
+Layout: features are (B, T, H, W, C) channels-last.  Temporal attention runs
+over (B*H*W, T, C) sequences — a huge-batch, tiny-seq shape where score
+matrices are small, so plain XLA batched matmuls are already near the HBM
+roofline; the heavy cost here is the q/k/v/out projections, which XLA maps
+straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vda_tpu.config import ModelConfig
+from vda_tpu.ops.layers import (
+    gelu,
+    group_norm,
+    init_layer_norm,
+    init_linear,
+    init_zeros_linear,
+    layer_norm,
+    linear,
+)
+
+
+# ---------------------------------------------------------------------------
+# positional encodings
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _sinusoidal_pe(max_len: int, d_model: int) -> np.ndarray:
+    """Sinusoidal APE table (reference motion_module.py:192-210), fp32."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                      * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _rope_tables(dim: int, end: int, theta: float = 10000.0):
+    """cos/sin tables equivalent to reference precompute_freqs_cis
+    (motion_module/attention.py:403-408)."""
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+    t = np.arange(end, dtype=np.float64)
+    f = np.outer(t, freqs)
+    return np.cos(f).astype(np.float32), np.sin(f).astype(np.float32)
+
+
+def _apply_rope(x, cos, sin):
+    """Rotary embedding over channel pairs (reference attention.py:419-429)."""
+    x32 = x.astype(jnp.float32)
+    xr = x32[..., 0::2]
+    xi = x32[..., 1::2]
+    orr = xr * cos - xi * sin
+    oi = xr * sin + xi * cos
+    out = jnp.stack([orr, oi], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_temporal_module(key, in_channels: int, cfg: ModelConfig):
+    c = in_channels
+    keys = jax.random.split(key, 2 + cfg.num_transformer_block)
+
+    def init_tblock(k):
+        ks = jax.random.split(k, 2 * cfg.num_attention_blocks + 2)
+        attn = []
+        for i in range(cfg.num_attention_blocks):
+            k4 = jax.random.split(ks[i], 4)
+            attn.append({
+                "to_q": init_linear(k4[0], c, c, bias=False),
+                "to_k": init_linear(k4[1], c, c, bias=False),
+                "to_v": init_linear(k4[2], c, c, bias=False),
+                "to_out": init_linear(k4[3], c, c),
+            })
+        return {
+            "attn": attn,
+            "norms": [init_layer_norm(c) for _ in range(cfg.num_attention_blocks)],
+            "ff": {
+                "proj": init_linear(ks[-2], c, 8 * c),
+                "out": init_linear(ks[-1], 4 * c, c),
+            },
+            "ff_norm": init_layer_norm(c),
+        }
+
+    return {
+        "norm": init_layer_norm(c),  # GroupNorm scale/bias
+        "proj_in": init_linear(keys[0], c, c),
+        "blocks": [init_tblock(keys[2 + i])
+                   for i in range(cfg.num_transformer_block)],
+        # zero_initialize=True (reference motion_module.py:57-58)
+        "proj_out": init_zeros_linear(c, c),
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _temporal_attention(p, h, cfg: ModelConfig,
+                        cache: Optional[jnp.ndarray]):
+    """h: (BD, T_new, C) sequences (already rearranged per spatial position).
+
+    cache: optional (BD, T_cache, C) pre-PE hidden states.
+    Returns (out (BD, T_new, C), input_hidden_states (BD, T_new, C)).
+    Reference motion_module.py:242-321.
+    """
+    input_hidden_states = h
+    d_in = 0
+    if cache is not None:
+        d_in = cache.shape[1]
+        h = jnp.concatenate([cache.astype(h.dtype), h], axis=1)
+
+    bd, t_full, c = h.shape
+    if cfg.pe == "ape":
+        pe = jnp.asarray(_sinusoidal_pe(t_full, c))
+        h = h + pe[None, :t_full].astype(h.dtype)
+
+    q_in = h[:, d_in:]
+    q = linear(p["to_q"], q_in)
+    k = linear(p["to_k"], h)
+    v = linear(p["to_v"], h)
+
+    if cfg.pe == "rope":
+        cos, sin = _rope_tables(c, t_full)
+        cos_q = jnp.asarray(cos)[None, d_in:t_full]
+        sin_q = jnp.asarray(sin)[None, d_in:t_full]
+        cos_k = jnp.asarray(cos)[None, :t_full]
+        sin_k = jnp.asarray(sin)[None, :t_full]
+        q = _apply_rope(q, cos_q, sin_q)
+        k = _apply_rope(k, cos_k, sin_k)
+
+    heads = cfg.num_attention_heads
+    dh = c // heads
+    qh = q.reshape(bd, -1, heads, dh)
+    kh = k.reshape(bd, t_full, heads, dh)
+    vh = v.reshape(bd, t_full, heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, -1, c)
+    return linear(p["to_out"], o), input_hidden_states
+
+
+def _transformer_block(p, h, cfg: ModelConfig, caches):
+    """h: (BD, T_new, C).  Reference motion_module.py:172-189."""
+    out_caches = []
+    for i in range(cfg.num_attention_blocks):
+        hn = layer_norm(p["norms"][i], h, eps=1e-5)
+        attn_out, input_hs = _temporal_attention(
+            p["attn"][i], hn, cfg, caches[i] if caches is not None else None)
+        h = attn_out + h
+        out_caches.append(input_hs)
+    # GEGLU FF (reference motion_module/attention.py:363-384)
+    hn = layer_norm(p["ff_norm"], h, eps=1e-5)
+    x12 = linear(p["ff"]["proj"], hn)
+    x1, gate = jnp.split(x12, 2, axis=-1)
+    h = linear(p["ff"]["out"], x1 * gelu(gate)) + h
+    return h, out_caches
+
+
+def temporal_module_apply(
+    p, x, cfg: ModelConfig,
+    cache_list: Optional[List[jnp.ndarray]] = None,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Apply one TemporalModule.
+
+    x: (B, T, H, W, C).  When ``cache_list`` is given (streaming), T is the
+    number of NEW frames and each cache entry is (B*H*W, T_cache, C).
+    Returns (output (B, T, H, W, C), new_cache_list) where new_cache_list has
+    ``num_transformer_block * num_attention_blocks`` tensors of the pre-PE
+    hidden states for the new frames (reference motion_module.py:104-134).
+    """
+    b, t, hh, ww, c = x.shape
+    residual = x
+    n_inst = b * t
+    h = group_norm(p["norm"], x.reshape(n_inst, hh, ww, c),
+                   cfg.norm_num_groups, eps=1e-6)
+    h = h.reshape(b, t, hh * ww, c)
+    h = linear(p["proj_in"], h)
+
+    # (B, T, D, C) -> (B*D, T, C) sequences per spatial position
+    h = h.transpose(0, 2, 1, 3).reshape(b * hh * ww, t, c)
+
+    n_blocks = len(p["blocks"])
+    n_per = cfg.num_attention_blocks
+    all_caches = []
+    for i, bp in enumerate(p["blocks"]):
+        caches = None
+        if cache_list is not None:
+            caches = cache_list[i * n_per:(i + 1) * n_per]
+        h, out_caches = _transformer_block(bp, h, cfg, caches)
+        all_caches.extend(out_caches)
+
+    h = h.reshape(b, hh * ww, t, c).transpose(0, 2, 1, 3)
+    h = linear(p["proj_out"], h)
+    h = h.reshape(b, t, hh, ww, c)
+    return h + residual, all_caches

@@ -1,0 +1,69 @@
+"""VideoDepthAnything full model: DINOv2 encoder + temporal DPT head.
+
+Rebuild of reference video_depth_anything/video_depth.py:35-68 and
+video_depth_stream.py:32-75 as pure functions.  The offline driver lives in
+vda_tpu/infer/windowed.py; the causal streaming driver in
+vda_tpu/infer/streaming.py.
+
+x layout: (B, T, H, W, 3) channels-last normalized frames (the reference uses
+(B, T, C, H, W); NHWC is the TPU-native conv layout).  Depth output is
+(B, T, H, W), non-negative.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vda_tpu.config import ModelConfig
+from vda_tpu.models.dinov2 import encode, init_encoder
+from vda_tpu.models.dpt import dpt_head_temporal_apply, init_dpt_head
+from vda_tpu.ops.resize import resize_bilinear
+
+
+def init_video_depth_anything(key, cfg: ModelConfig):
+    k1, k2 = jax.random.split(key)
+    return {
+        "pretrained": init_encoder(k1, cfg.vit),
+        "head": init_dpt_head(k2, cfg, temporal=True),
+    }
+
+
+def forward_features(params, x, cfg: ModelConfig, attn_impl: str = "auto"):
+    """Encoder taps (reference video_depth_stream.py:65-67).
+
+    x: (B, T, H, W, 3) -> list of 4 (tokens (B*T, N, D), cls (B*T, D)).
+    """
+    b, t, h, w, c = x.shape
+    flat = x.reshape(b * t, h, w, c)
+    return encode(params["pretrained"], flat, cfg.vit,
+                  cfg.intermediate_layer_idx, attn_impl)
+
+
+def forward_depth(params, features, x_shape, cfg: ModelConfig,
+                  cached_hidden_state_list: Optional[List] = None,
+                  micro_batch_size: int = 4):
+    """Head + resize + relu (reference video_depth_stream.py:69-75).
+
+    Returns (depth (B, T, H, W), new_cache_list[8]).
+    """
+    b, t, h, w, _ = x_shape
+    patch_hw = (h // cfg.vit.patch_size, w // cfg.vit.patch_size)
+    depth, caches = dpt_head_temporal_apply(
+        params["head"], features, patch_hw, t, cfg,
+        cached_hidden_state_list=cached_hidden_state_list,
+        micro_batch_size=micro_batch_size)
+    depth = resize_bilinear(depth, (h, w), align_corners=True)
+    depth = jax.nn.relu(depth)
+    return depth[..., 0].reshape(b, t, h, w), caches
+
+
+def forward(params, x, cfg: ModelConfig, attn_impl: str = "auto",
+            micro_batch_size: int = 4):
+    """Full forward (reference video_depth.py:61-68): (B,T,H,W,3) -> (B,T,H,W)."""
+    features = forward_features(params, x, cfg, attn_impl)
+    depth, _ = forward_depth(params, features, x.shape, cfg,
+                             micro_batch_size=micro_batch_size)
+    return depth

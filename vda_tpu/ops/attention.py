@@ -1,0 +1,62 @@
+"""Multi-head attention dispatch.
+
+Two hot shapes in this framework (reference SURVEY §5.7):
+  * spatial ViT attention: batch B*T (=32), seq 1370, heads 6/12/16, dh 64
+    (replaces the reference's xFormers memory_efficient_attention,
+    dinov2_layers/attention.py:65-82)
+  * temporal attention: batch B*H*W (~1.4k-5.5k), seq<=32, heads 8
+    (reference motion_module/attention.py:256-293)
+
+``dot_product_attention`` picks the implementation:
+  * "xla"    — einsum attention, softmax in fp32 (always correct; the score
+               matrices for the temporal shape are tiny so this is also fast)
+  * "pallas" — fused flash-attention kernel (vda_tpu/ops/pallas_attention.py),
+               used for the long-seq spatial shape on TPU
+  * "auto"   — pallas on TPU when seq is long and shapes are tile-friendly,
+               else xla
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _xla_attention(q, k, v, scale: float):
+    """q: (B, Nq, H, D); k/v: (B, Nk, H, D).  Softmax in fp32."""
+    dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(scale)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def dot_product_attention(q, k, v, scale: float | None = None,
+                          impl: str = "auto"):
+    """Scaled dot-product attention over (B, N, H, D) tensors."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    if impl == "auto":
+        use_pallas = (
+            _on_tpu()
+            and q.shape[1] >= 512          # long-seq spatial shape
+            and q.shape[1] == k.shape[1]
+            and d % 8 == 0
+        )
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from vda_tpu.ops.pallas_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)

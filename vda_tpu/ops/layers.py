@@ -1,0 +1,151 @@
+"""Functional NN primitives, TPU-first.
+
+Conventions (deliberately different from the torch reference — these are the
+TPU-native layouts):
+
+  * images/features are NHWC (channels-last), conv kernels are HWIO
+  * linear weights are stored (in, out) so application is `x @ w`
+  * params are plain nested dicts of jnp arrays (pytrees), apply fns are pure
+  * normalization statistics are always computed in float32; matmul outputs use
+    ``preferred_element_type=float32`` only where the reference keeps an fp32
+    island (see models/dpt.py output head)
+
+Parity notes: LayerNorm eps matches reference dinov2.py:95 (1e-6) /
+motion_module.py (1e-5 default torch LayerNorm); GELU is the exact (erf) form,
+matching torch nn.GELU default used at reference dinov2_layers/mlp.py:24 and
+F.gelu at motion_module/attention.py:352.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gelu(x):
+    """Exact (erf) GELU — torch nn.GELU / F.gelu default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def linear(p, x, precision=None):
+    """x @ w + b.  w: (in, out); b optional."""
+    y = jnp.matmul(x, p["w"].astype(x.dtype), precision=precision)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def layer_norm(p, x, eps: float = 1e-6):
+    """LayerNorm over the last axis; statistics in fp32."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def group_norm(p, x, num_groups: int, eps: float = 1e-6):
+    """GroupNorm over NHWC input; statistics in fp32.
+
+    Matches torch nn.GroupNorm semantics on NCHW inputs (stats over
+    (C/g, H, W) per group per instance) — reference motion_module.py:84.
+    """
+    dtype = x.dtype
+    n, h, w, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
+    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 4), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(n, h, w, c)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def conv2d(p, x, stride: int = 1, padding="SAME"):
+    """2D conv, NHWC / HWIO.
+
+    padding: "SAME", "VALID", or an int (symmetric spatial padding, torch
+    style).
+    """
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    w = p["w"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def conv_transpose_same_stride(p, x, k: int):
+    """ConvTranspose2d with kernel_size == stride and no padding.
+
+    This is the only deconv shape the reference uses (dpt.py:70-82: 4x/4 and
+    2x/2).  With k == s each input pixel independently produces a k x k output
+    block, so the op is exactly one matmul + reshape — ideal for the MXU,
+    no gradient-of-conv lowering needed.
+
+    p['w']: (Cin, k, k, Cout) — converted from torch (Cin, Cout, kH, kW).
+    """
+    n, h, w_, cin = x.shape
+    wk = p["w"].astype(x.dtype)  # (Cin, k, k, Cout)
+    cout = wk.shape[-1]
+    y = jnp.einsum("nhwc,cklo->nhkwlo", x, wk)
+    y = y.reshape(n, h * k, w_ * k, cout)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-compatible defaults, for training / random tests)
+# ---------------------------------------------------------------------------
+
+def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_linear(key, d_in, d_out, bias=True, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    p = {"w": _fan_in_uniform(k1, (d_in, d_out), d_in, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(k2, (d_out,), d_in, dtype)
+    return p
+
+
+def init_conv2d(key, k, cin, cout, bias=True, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    fan_in = cin * k * k
+    p = {"w": _fan_in_uniform(k1, (k, k, cin, cout), fan_in, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(k2, (cout,), fan_in, dtype)
+    return p
+
+
+def init_conv_transpose(key, k, cin, cout, bias=True, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    fan_in = cout * k * k  # torch ConvTranspose fan_in counts out channels
+    p = {"w": _fan_in_uniform(k1, (cin, k, k, cout), fan_in, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(k2, (cout,), fan_in, dtype)
+    return p
+
+
+def init_layer_norm(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_zeros_linear(d_in, d_out, bias=True, dtype=jnp.float32):
+    p = {"w": jnp.zeros((d_in, d_out), dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p

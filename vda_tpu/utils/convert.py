@@ -1,0 +1,257 @@
+"""Checkpoint conversion: reference torch ``.pth`` state dicts -> params pytree.
+
+The reference ships flat torch state dicts (reference run.py:50-54, key roots
+``pretrained.*`` for the DINOv2 encoder and ``head.*`` for the temporal DPT
+head).  This module maps every key to our pytree with the required layout
+changes:
+
+  * linear weights transpose (out,in) -> (in,out)
+  * conv weights OIHW -> HWIO
+  * conv-transpose weights (Cin,Cout,kH,kW) -> (Cin,kH,kW,Cout)
+  * cls/mask tokens squeeze to (D,)
+  * the ``pos_encoder.pe`` sinusoidal buffer is dropped (recomputed on the fly)
+
+Conversion is strict: every checkpoint key must be consumed and every expected
+pytree leaf must be produced, so naming drift fails loudly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from vda_tpu.config import ModelConfig
+
+
+def _t(a):  # linear weight
+    return np.ascontiguousarray(np.asarray(a).T)
+
+
+def _conv(a):  # OIHW -> HWIO
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (2, 3, 1, 0)))
+
+
+def _deconv(a):  # (Cin, Cout, kH, kW) -> (Cin, kH, kW, Cout)
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (0, 2, 3, 1)))
+
+
+def _arr(a):
+    return np.ascontiguousarray(np.asarray(a))
+
+
+class _Reader:
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.used = set()
+
+    def __call__(self, key: str, fn=_arr):
+        if key not in self.sd:
+            raise KeyError(f"checkpoint missing key: {key}")
+        self.used.add(key)
+        return fn(self.sd[key])
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def leftover(self):
+        return [k for k in self.sd if k not in self.used]
+
+
+def _convert_linear(r, prefix, bias=True):
+    p = {"w": r(f"{prefix}.weight", _t)}
+    if bias and r.has(f"{prefix}.bias"):
+        p["b"] = r(f"{prefix}.bias")
+    return p
+
+
+def _convert_conv(r, prefix, bias=True):
+    p = {"w": r(f"{prefix}.weight", _conv)}
+    if bias and r.has(f"{prefix}.bias"):
+        p["b"] = r(f"{prefix}.bias")
+    return p
+
+
+def _convert_ln(r, prefix):
+    return {"scale": r(f"{prefix}.weight"), "bias": r(f"{prefix}.bias")}
+
+
+def _convert_block(r, prefix, ffn_layer):
+    p = {
+        "norm1": _convert_ln(r, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _convert_linear(r, f"{prefix}.attn.qkv"),
+            "proj": _convert_linear(r, f"{prefix}.attn.proj"),
+        },
+        "ls1": r(f"{prefix}.ls1.gamma"),
+        "norm2": _convert_ln(r, f"{prefix}.norm2"),
+        "ls2": r(f"{prefix}.ls2.gamma"),
+    }
+    if ffn_layer == "swiglufused":
+        p["mlp"] = {
+            "w12": _convert_linear(r, f"{prefix}.mlp.w12"),
+            "w3": _convert_linear(r, f"{prefix}.mlp.w3"),
+        }
+    else:
+        p["mlp"] = {
+            "fc1": _convert_linear(r, f"{prefix}.mlp.fc1"),
+            "fc2": _convert_linear(r, f"{prefix}.mlp.fc2"),
+        }
+    return p
+
+
+def _convert_encoder(r, cfg: ModelConfig):
+    vit = cfg.vit
+    return {
+        "cls_token": r("pretrained.cls_token").reshape(-1),
+        "pos_embed": r("pretrained.pos_embed"),
+        "mask_token": r("pretrained.mask_token").reshape(-1),
+        "patch_embed": _convert_conv(r, "pretrained.patch_embed.proj"),
+        "blocks": [
+            _convert_block(r, f"pretrained.blocks.{i}", vit.ffn_layer)
+            for i in range(vit.depth)
+        ],
+        "norm": _convert_ln(r, "pretrained.norm"),
+    }
+
+
+def _convert_rcu(r, prefix):
+    return {
+        "conv1": _convert_conv(r, f"{prefix}.conv1"),
+        "conv2": _convert_conv(r, f"{prefix}.conv2"),
+    }
+
+
+def _convert_fusion(r, prefix):
+    return {
+        "rcu1": _convert_rcu(r, f"{prefix}.resConfUnit1"),
+        "rcu2": _convert_rcu(r, f"{prefix}.resConfUnit2"),
+        "out_conv": _convert_conv(r, f"{prefix}.out_conv"),
+    }
+
+
+def _convert_motion_module(r, prefix, cfg: ModelConfig):
+    tt = f"{prefix}.temporal_transformer"
+    blocks = []
+    for b in range(cfg.num_transformer_block):
+        bp = f"{tt}.transformer_blocks.{b}"
+        attn, norms = [], []
+        for a in range(cfg.num_attention_blocks):
+            ap = f"{bp}.attention_blocks.{a}"
+            # pos_encoder.pe is a deterministic sinusoidal buffer
+            # (reference motion_module.py:201-206) — recomputed, not loaded.
+            if r.has(f"{ap}.pos_encoder.pe"):
+                r(f"{ap}.pos_encoder.pe")
+            attn.append({
+                "to_q": _convert_linear(r, f"{ap}.to_q"),
+                "to_k": _convert_linear(r, f"{ap}.to_k"),
+                "to_v": _convert_linear(r, f"{ap}.to_v"),
+                "to_out": _convert_linear(r, f"{ap}.to_out.0"),
+            })
+            norms.append(_convert_ln(r, f"{bp}.norms.{a}"))
+        blocks.append({
+            "attn": attn,
+            "norms": norms,
+            "ff": {
+                "proj": _convert_linear(r, f"{bp}.ff.net.0.proj"),
+                "out": _convert_linear(r, f"{bp}.ff.net.2"),
+            },
+            "ff_norm": _convert_ln(r, f"{bp}.ff_norm"),
+        })
+    return {
+        "norm": _convert_ln(r, f"{tt}.norm"),
+        "proj_in": _convert_linear(r, f"{tt}.proj_in"),
+        "blocks": blocks,
+        "proj_out": _convert_linear(r, f"{tt}.proj_out"),
+    }
+
+
+def _convert_head(r, cfg: ModelConfig):
+    p = {
+        "projects": [_convert_conv(r, f"head.projects.{i}") for i in range(4)],
+        "resize0": {
+            "w": r("head.resize_layers.0.weight", _deconv),
+            "b": r("head.resize_layers.0.bias"),
+        },
+        "resize1": {
+            "w": r("head.resize_layers.1.weight", _deconv),
+            "b": r("head.resize_layers.1.bias"),
+        },
+        "resize3": _convert_conv(r, "head.resize_layers.3"),
+        "scratch": {
+            f"layer{i}_rn": _convert_conv(r, f"head.scratch.layer{i}_rn")
+            for i in range(1, 5)
+        },
+        "output_conv1": _convert_conv(r, "head.scratch.output_conv1"),
+        "output_conv2": {
+            "conv0": _convert_conv(r, "head.scratch.output_conv2.0"),
+            "conv1": _convert_conv(r, "head.scratch.output_conv2.2"),
+        },
+    }
+    for j in range(1, 5):
+        p[f"refinenet{j}"] = _convert_fusion(r, f"head.scratch.refinenet{j}")
+    p["motion_modules"] = [
+        _convert_motion_module(r, f"head.motion_modules.{i}", cfg)
+        for i in range(4)
+    ]
+    return p
+
+
+def convert_state_dict(state_dict: Dict[str, "np.ndarray"], cfg: ModelConfig,
+                       strict: bool = True):
+    """Convert a reference-format state dict (name -> array) to a params pytree.
+
+    Accepts numpy arrays or anything with ``.numpy()`` (torch tensors).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k] = np.asarray(v, dtype=np.float32)
+    r = _Reader(sd)
+    params = {
+        "pretrained": _convert_encoder(r, cfg),
+        "head": _convert_head(r, cfg),
+    }
+    if strict:
+        left = r.leftover()
+        if left:
+            raise ValueError(f"unconsumed checkpoint keys: {left[:10]}"
+                             f" (+{max(0, len(left) - 10)} more)")
+    return params
+
+
+def load_torch_checkpoint(path: str, cfg: ModelConfig):
+    """Load a reference ``.pth`` checkpoint into a params pytree
+    (reference run.py:50-54)."""
+    import torch  # host-side only; never used in the compute path
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_state_dict(sd, cfg)
+
+
+def save_params_npz(path: str, params):
+    """Flat .npz serialization of a params pytree (native format)."""
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for kp, leaf in flat:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        out[name] = np.asarray(leaf)
+    np.savez(path, **out)
+
+
+def load_params_npz(path: str, like_params):
+    """Load a flat .npz produced by save_params_npz into the given structure."""
+    import jax
+
+    data = np.load(path)
+    flat, tree = jax.tree_util.tree_flatten_with_path(like_params)
+    leaves = []
+    for kp, leaf in flat:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        leaves.append(data[name])
+    return jax.tree_util.tree_unflatten(tree, leaves)
