@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Offline video depth CLI — flag-compatible rebuild of reference run.py:23-101.
+
+Outputs: <name>_src.mp4, <name>_vis.mp4, optional NPZ (depths key), optional
+per-frame EXR Z-channel, and metric-mode point clouds (PLY).
+
+Checkpoints: loads the reference's torch ``.pth`` files through the converter
+(default path ./checkpoints/{metric_}video_depth_anything_{enc}.pth, reference
+run.py:50-54) or a native ``.npz`` params file.  ``--random-init`` runs with
+random weights for pipeline testing on machines without checkpoints.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Video Depth Anything (TPU)")
+    parser.add_argument("--input_video", type=str,
+                        default="./assets/example_videos/davis_rollercoaster.mp4")
+    parser.add_argument("--output_dir", type=str, default="./outputs")
+    parser.add_argument("--input_size", type=int, default=518)
+    parser.add_argument("--max_res", type=int, default=1280)
+    parser.add_argument("--encoder", type=str, default="vitl",
+                        choices=["vits", "vitb", "vitl"])
+    parser.add_argument("--max_len", type=int, default=-1,
+                        help="maximum length of the input video, -1 no limit")
+    parser.add_argument("--target_fps", type=int, default=-1,
+                        help="target fps, -1 keeps the original fps")
+    parser.add_argument("--metric", action="store_true",
+                        help="use metric depth model")
+    parser.add_argument("--fp32", action="store_true",
+                        help="run in float32 (default bfloat16)")
+    parser.add_argument("--grayscale", action="store_true",
+                        help="do not apply colorful palette")
+    parser.add_argument("--save_npz", action="store_true")
+    parser.add_argument("--save_exr", action="store_true")
+    parser.add_argument("--focal-length-x", default=470.4, type=float)
+    parser.add_argument("--focal-length-y", default=470.4, type=float)
+    # extensions over the reference CLI
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="explicit .pth / .npz checkpoint path")
+    parser.add_argument("--random-init", action="store_true",
+                        help="random weights (pipeline testing only)")
+    parser.add_argument("--attn-impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"])
+    return parser
+
+
+def load_model(args):
+    import jax
+
+    from vda_tpu.config import checkpoint_name, get_config
+    from vda_tpu.models import init_video_depth_anything
+    from vda_tpu.utils.convert import load_params_npz, load_torch_checkpoint
+
+    cfg = get_config(args.encoder, metric=getattr(args, "metric", False))
+    if args.random_init:
+        params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
+        return cfg, params
+    ckpt = args.checkpoint or os.path.join(
+        "./checkpoints", checkpoint_name(args.encoder, args.metric) + ".pth")
+    if not os.path.exists(ckpt):
+        raise FileNotFoundError(
+            f"checkpoint not found: {ckpt} — pass --checkpoint or "
+            f"--random-init (testing only)")
+    if ckpt.endswith(".npz"):
+        template = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
+        params = load_params_npz(ckpt, template)
+    else:
+        params = load_torch_checkpoint(ckpt, cfg)
+    return cfg, params
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    from vda_tpu.infer import infer_video_depth
+    from vda_tpu.utils.io import (
+        read_video_frames,
+        save_depth_exr_sequence,
+        save_depths_npz,
+        save_point_clouds,
+        save_video,
+    )
+
+    cfg, params = load_model(args)
+    frames, target_fps = read_video_frames(
+        args.input_video, args.max_len, args.target_fps, args.max_res)
+
+    def progress(i, n):
+        print(f"\rwindow {i}/{n}", end="", flush=True)
+
+    depths, fps = infer_video_depth(
+        params, frames, target_fps, cfg, input_size=args.input_size,
+        fp32=args.fp32, attn_impl=args.attn_impl, progress=progress)
+    print()
+
+    video_name = os.path.basename(args.input_video)
+    stem = os.path.splitext(video_name)[0]
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    save_video(frames, os.path.join(args.output_dir, stem + "_src.mp4"),
+               fps=fps)
+    save_video(depths, os.path.join(args.output_dir, stem + "_vis.mp4"),
+               fps=fps, is_depths=True, grayscale=args.grayscale)
+
+    if args.save_npz:
+        save_depths_npz(os.path.join(args.output_dir, stem + "_depths.npz"),
+                        depths)
+    if args.save_exr:
+        save_depth_exr_sequence(
+            os.path.join(args.output_dir, stem + "_depths_exr"), depths)
+    if args.metric:
+        save_point_clouds(args.output_dir, frames, depths,
+                          args.focal_length_x, args.focal_length_y)
+    print(f"done: {depths.shape[0]} frames -> {args.output_dir}")
+    return depths
+
+
+if __name__ == "__main__":
+    main()
