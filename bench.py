@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: vitl 1x32x518x518 window inference on one TPU chip.
+
+Baseline (BASELINE.md): the reference does 14 ms/frame at this shape on an
+A100 in FP16 (README.md:55-81).  We report ms/frame for the full jitted
+window step (forward + resize, steady state, weights resident in HBM) in
+bfloat16.  vs_baseline > 1 means faster than the A100 reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS_PER_FRAME = 14.0  # vitl FP16 A100 (reference README.md:55-81)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vda_tpu.config import get_config
+    from vda_tpu.models import init_video_depth_anything
+    from vda_tpu.models.vda import forward
+
+    encoder = os.environ.get("VDA_BENCH_ENCODER", "vitl")
+    t = int(os.environ.get("VDA_BENCH_FRAMES", "32"))
+    size = int(os.environ.get("VDA_BENCH_SIZE", "518"))
+    reps = int(os.environ.get("VDA_BENCH_REPS", "5"))
+    attn_impl = os.environ.get("VDA_BENCH_ATTN", "auto")
+
+    cfg = get_config(encoder)
+    params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x if x.dtype != jnp.float32 else jax.device_put(x), params)
+
+    @jax.jit
+    def step(params, x):
+        return forward(params, x, cfg, attn_impl=attn_impl)
+
+    x = jnp.ones((1, t, size, size, 3), jnp.bfloat16)
+
+    def sync(r):
+        # NOTE: under the axon tunnel block_until_ready() is effectively a
+        # no-op (async handle); only a host fetch truly synchronizes.
+        import numpy as np
+        return np.asarray(r[..., :1, :1])
+
+    # compile + warmup + queue drain
+    sync(step(params, x))
+    sync(step(params, x))
+
+    chain = int(os.environ.get("VDA_BENCH_CHAIN", "4"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(chain):
+            out = step(params, x)
+        sync(out)
+        times.append((time.perf_counter() - t0) / chain)
+
+    times.sort()
+    p50 = times[len(times) // 2]
+    ms_per_frame = p50 * 1000.0 / t
+    result = {
+        "metric": f"{encoder} {size}x{size}x{t}-frame window inference",
+        "value": round(ms_per_frame, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS_PER_FRAME / ms_per_frame, 3),
+        "p50_window_ms": round(p50 * 1000.0, 1),
+        "frames_per_sec_per_chip": round(t / p50, 1),
+        "device": str(jax.devices()[0]),
+        "dtype": "bfloat16",
+        "attn_impl": attn_impl,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Sharded training step.
+
+The reference ships the loss but no trainer (SURVEY.md §3.5: "no trainer
+exists").  This is the TPU-native trainer around it: optax AdamW, params +
+optimizer state sharded by the TP rules in parallel/mesh.py, batch sharded
+over the data axis, gradients reduced by GSPMD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vda_tpu.config import ModelConfig
+from vda_tpu.loss import video_depth_loss
+from vda_tpu.models.vda import forward
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2):
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def make_train_step(cfg: ModelConfig, optimizer=None,
+                    micro_batch_size: int | None = None) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: dict(video (B,T,H,W,3), depth (B,T,H,W), mask (B,T,H,W)).
+    micro_batch_size defaults to the full window (no tail chunking) because
+    lax.scan over a sharded batch dim would force resharding.
+    """
+    if optimizer is None:
+        optimizer = make_optimizer()
+
+    def loss_fn(params, batch):
+        mb = micro_batch_size or (batch["video"].shape[0]
+                                  * batch["video"].shape[1])
+        pred = forward(params, batch["video"], cfg, attn_impl="xla",
+                       micro_batch_size=mb)
+        losses = video_depth_loss(pred.astype(jnp.float32),
+                                  batch["depth"].astype(jnp.float32),
+                                  batch["mask"])
+        return losses["total_loss"], losses
+
+    def train_step(state: TrainState, batch):
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(params, optimizer=None) -> TrainState:
+    if optimizer is None:
+        optimizer = make_optimizer()
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[])
