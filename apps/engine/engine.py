@@ -1,0 +1,339 @@
+#!/usr/bin/env python
+"""VFX production batch engine.
+
+Rebuild of reference external_engine/engine.py: a daemon that processes depth
+jobs described by JSON, in two modes:
+
+  * CLI mode: ``python -m apps.engine.engine --job job.json``
+    (reference engine.py:1284-1348)
+  * queue mode: poll ``communication/job_queue.json`` every 0.5 s, write
+    ``communication/status.json`` ({running|processing|success|error}), delete
+    the job file when done (reference engine.py:1349-1464)
+
+Job schema (reference engine.py:190-196, 587-610):
+    input_video, exr_output_dir, first_frame, last_frame, metric_depth,
+    floating_point ("half"|"full"), encoder, {metric_}video_depth_anything_
+    checkpoint, exr_first_frame, exr_last_frame, enable_normalization,
+    normalization_near, normalization_far, invert_depth, create_source_mp4,
+    create_depth_vis_mp4, depth_mp4_dir
+
+Features reproduced: encoder autodetect from the checkpoint filename
+(engine.py:224-236), image-sequence templating (%0Nd/####/%d,
+engine.py:275-330), EXR input reading, UHD 4096x2160 cap resize
+(engine.py:69-133), near/far normalization + inversion for Nuke
+(engine.py:1099-1141), EXR output with PNG fallback (engine.py:891-935),
+MP4 visualization with metadata embedding (engine.py:1143-1274).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+import traceback
+from typing import Dict, Optional
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+import numpy as np  # noqa: E402
+
+from apps.engine import metadata as meta_mod  # noqa: E402
+from apps.engine.sequence import (  # noqa: E402
+    is_image_sequence,
+    read_image_sequence,
+)
+
+logger = logging.getLogger("vda_engine")
+
+UHD_MAX_WIDTH = 4096
+UHD_MAX_HEIGHT = 2160
+POLL_INTERVAL_S = 0.5
+
+
+def normalize_path(path: str) -> str:
+    """Windows/UNC -> posix-friendly path (reference engine.py:597-605)."""
+    if not path:
+        return path
+    path = path.replace("\\", "/")
+    return path
+
+
+def detect_encoder(job_data: Dict, checkpoint_path: str) -> str:
+    """reference engine.py:224-236."""
+    if "encoder" in job_data:
+        return job_data["encoder"]
+    for enc in ("vits", "vitb", "vitl"):
+        if enc in os.path.basename(checkpoint_path or ""):
+            return enc
+    return "vits"
+
+
+def resize_frames_to_uhd_max(frames: np.ndarray):
+    """Cap inputs to 4096x2160 keeping aspect, even dims
+    (reference engine.py:69-133)."""
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    if w <= UHD_MAX_WIDTH and h <= UHD_MAX_HEIGHT:
+        return frames, False, (w, h), (w, h)
+    scale = min(UHD_MAX_WIDTH / w, UHD_MAX_HEIGHT / h)
+    nw = min(int(round(w * scale)) + int(round(w * scale)) % 2, UHD_MAX_WIDTH)
+    nh = min(int(round(h * scale)) + int(round(h * scale)) % 2, UHD_MAX_HEIGHT)
+    out = np.stack([
+        cv2.resize(f, (nw, nh), interpolation=cv2.INTER_CUBIC)
+        for f in frames
+    ])
+    return out, True, (w, h), (nw, nh)
+
+
+def normalize_depth(depth: np.ndarray, near_value: float, far_value: float,
+                    invert_depth: bool) -> np.ndarray:
+    """Near/far normalization + inversion for Nuke
+    (reference engine.py:1099-1141)."""
+    d_min, d_max = float(depth.min()), float(depth.max())
+    if d_max > d_min:
+        norm = (depth - d_min) / (d_max - d_min)
+        if far_value > near_value:
+            norm = near_value + (far_value - near_value) * norm
+        else:
+            norm = far_value + (near_value - far_value) * norm
+    else:
+        norm = np.full_like(depth, near_value)
+    if invert_depth:
+        norm = far_value - (norm - near_value)
+    return norm
+
+
+def derive_shot_name(input_video: str) -> str:
+    stem = os.path.splitext(os.path.basename(input_video))[0]
+    # strip frame-pattern remnants
+    for tok in ("%04d", "####", "%d"):
+        stem = stem.replace(tok, "").rstrip("._")
+    return stem or "shot"
+
+
+class VideoDepthEngine:
+    """Stateful engine: caches the loaded model between jobs with the same
+    (encoder, metric, checkpoint)."""
+
+    def __init__(self, fp32: Optional[bool] = None):
+        self._model_key = None
+        self._cfg = None
+        self._params = None
+        self.fp32 = fp32
+
+    # ------------------------------------------------------------------
+    def _load_model(self, encoder: str, metric: bool, checkpoint: str,
+                    random_init: bool = False):
+        key = (encoder, metric, checkpoint, random_init)
+        if key == self._model_key:
+            return
+        import jax
+
+        from vda_tpu.config import get_config
+        from vda_tpu.models import init_video_depth_anything
+        from vda_tpu.utils.convert import load_torch_checkpoint
+
+        cfg = get_config(encoder, metric=metric)
+        if random_init:
+            params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
+        else:
+            params = load_torch_checkpoint(checkpoint, cfg)
+        self._model_key, self._cfg, self._params = key, cfg, params
+
+    # ------------------------------------------------------------------
+    def _read_input(self, input_video: str, first_frame: int,
+                    last_frame: int):
+        from vda_tpu.utils.io import read_video_frames
+
+        if is_image_sequence(input_video):
+            frames, numbers = read_image_sequence(input_video, first_frame,
+                                                  last_frame)
+            fps = 24.0
+        else:
+            frames, fps = read_video_frames(input_video, process_length=-1)
+            n = len(frames)
+            lo = max(first_frame - 1, 0)
+            hi = min(last_frame, n)
+            frames = frames[lo:hi]
+            numbers = list(range(first_frame, first_frame + len(frames)))
+        return frames, numbers, fps
+
+    # ------------------------------------------------------------------
+    def _write_exr_sequence(self, depths: np.ndarray, out_dir: str,
+                            shot_name: str, exr_first_frame: int,
+                            floating_point: str, metadata: Dict):
+        """EXR Z-channel sequence with PNG fallback
+        (reference engine.py:851-959)."""
+        from vda_tpu.utils.io import save_depth_exr
+
+        os.makedirs(out_dir, exist_ok=True)
+        written = []
+        for i, depth in enumerate(depths):
+            frame_no = exr_first_frame + i
+            path = os.path.join(out_dir, f"{shot_name}_depth.{frame_no:04d}.exr")
+            d = depth.astype(np.float32)
+            if not save_depth_exr(path, d):
+                import cv2
+                png = path.replace(".exr", ".png")
+                dn = (d - d.min()) / max(d.max() - d.min(), 1e-8)
+                cv2.imwrite(png, (dn * 65535).astype(np.uint16))
+                path = png
+            else:
+                meta_mod.embed_exr_metadata(path, metadata)
+            written.append(path)
+        return written
+
+    # ------------------------------------------------------------------
+    def process_job(self, job_data: Dict) -> Dict:
+        """Run one job end-to-end; returns a status dict for status.json
+        (reference engine.py:577-1041)."""
+        try:
+            input_video = normalize_path(job_data["input_video"])
+            exr_output_dir = normalize_path(job_data["exr_output_dir"])
+            first_frame = int(job_data.get("first_frame", 1))
+            last_frame = int(job_data.get("last_frame", first_frame))
+            metric_depth = bool(job_data.get("metric_depth", False))
+            floating_point = job_data.get("floating_point", "half")
+            ckpt_key = ("metric_video_depth_anything_checkpoint"
+                        if metric_depth
+                        else "video_depth_anything_checkpoint")
+            checkpoint = normalize_path(job_data.get(ckpt_key, ""))
+            encoder = detect_encoder(job_data, checkpoint)
+            exr_first_frame = int(job_data.get("exr_first_frame",
+                                               first_frame))
+
+            self._load_model(encoder, metric_depth, checkpoint,
+                             random_init=bool(job_data.get("random_init",
+                                                           False)))
+
+            frames, numbers, fps = self._read_input(input_video, first_frame,
+                                                    last_frame)
+            frames, was_resized, orig_size, new_size = \
+                resize_frames_to_uhd_max(frames)
+            logger.info("read %d frames %s (resized=%s)", len(frames),
+                        new_size, was_resized)
+
+            from vda_tpu.infer import infer_video_depth
+
+            fp32 = (floating_point == "full") if self.fp32 is None \
+                else self.fp32
+            depths, _fps = infer_video_depth(
+                self._params, frames, fps, self._cfg,
+                input_size=int(job_data.get("input_size", 518)), fp32=fp32)
+
+            if was_resized and bool(job_data.get("upscale_to_original",
+                                                 True)):
+                import cv2
+                ow, oh = orig_size
+                depths = np.stack([
+                    cv2.resize(d, (ow, oh), interpolation=cv2.INTER_CUBIC)
+                    for d in depths
+                ])
+
+            if bool(job_data.get("enable_normalization", False)):
+                depths = normalize_depth(
+                    depths,
+                    float(job_data.get("normalization_near", 0.0)),
+                    float(job_data.get("normalization_far", 1.0)),
+                    bool(job_data.get("invert_depth", False)))
+
+            shot_name = derive_shot_name(input_video)
+            metadata = meta_mod.build_metadata(
+                job_data, encoder, checkpoint,
+                frame_range=(numbers[0], numbers[-1]))
+            written = self._write_exr_sequence(
+                depths, exr_output_dir, shot_name, exr_first_frame,
+                floating_point, metadata)
+            meta_mod.write_sidecar(exr_output_dir, metadata)
+
+            from vda_tpu.utils.io import save_video
+
+            if bool(job_data.get("create_source_mp4", False)):
+                src_path = os.path.join(exr_output_dir,
+                                        f"{shot_name}_src.mp4")
+                save_video(frames, src_path, fps=fps)
+                meta_mod.embed_mp4_metadata(src_path, metadata)
+            if bool(job_data.get("create_depth_vis_mp4", False)):
+                vis_dir = normalize_path(
+                    job_data.get("depth_mp4_dir", exr_output_dir))
+                os.makedirs(vis_dir, exist_ok=True)
+                vis_path = os.path.join(vis_dir, f"{shot_name}_vis.mp4")
+                save_video(depths, vis_path, fps=fps, is_depths=True)
+                meta_mod.embed_mp4_metadata(vis_path, metadata)
+
+            return {
+                "status": "success",
+                "message": f"wrote {len(written)} depth frames",
+                "output_dir": exr_output_dir,
+                "frames": len(written),
+                "encoder": encoder,
+            }
+        except Exception as e:  # noqa: BLE001 — engine must never crash the queue
+            logger.error("job failed: %s", e)
+            return {
+                "status": "error",
+                "message": str(e),
+                "traceback": traceback.format_exc(),
+            }
+
+
+def run_queue(comm_dir: str):
+    """File-based job queue (reference engine.py:1349-1464)."""
+    os.makedirs(comm_dir, exist_ok=True)
+    job_file = os.path.join(comm_dir, "job_queue.json")
+    status_file = os.path.join(comm_dir, "status.json")
+
+    def put_status(status: Dict):
+        with open(status_file, "w") as f:
+            json.dump(status, f)
+
+    engine = VideoDepthEngine()
+    put_status({"status": "running", "message": "engine ready"})
+    logger.info("engine started; polling %s", job_file)
+    while True:
+        try:
+            if os.path.exists(job_file):
+                with open(job_file) as f:
+                    job_data = json.load(f)
+                put_status({"status": "processing",
+                            "message": "processing video..."})
+                result = engine.process_job(job_data)
+                put_status(result)
+                os.remove(job_file)
+            time.sleep(POLL_INTERVAL_S)
+        except KeyboardInterrupt:
+            put_status({"status": "stopped", "message": "engine stopped"})
+            break
+        except Exception as e:  # noqa: BLE001
+            put_status({"status": "error", "message": str(e)})
+            if os.path.exists(job_file):
+                os.remove(job_file)
+            time.sleep(POLL_INTERVAL_S)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(description="VDA VFX engine (TPU)")
+    parser.add_argument("--job", type=str, default=None,
+                        help="JSON job file (CLI mode); omit for queue mode")
+    parser.add_argument("--communication-dir", type=str,
+                        default="./communication")
+    args = parser.parse_args(argv)
+
+    if args.job:
+        with open(args.job) as f:
+            job_data = json.load(f)
+        result = VideoDepthEngine().process_job(job_data)
+        print(json.dumps(result, indent=2))
+        return 0 if result["status"] == "success" else 1
+    run_queue(args.communication_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

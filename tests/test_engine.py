@@ -1,0 +1,188 @@
+"""VFX engine tests: job processing, sequence templating, normalization,
+metadata, queue protocol — with a tiny injected model (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from apps.engine import engine as eng
+from apps.engine.sequence import (
+    detect_frame_pattern,
+    format_frame_path,
+    is_image_sequence,
+    read_image_sequence,
+)
+from vda_tpu.models import init_video_depth_anything
+
+
+@pytest.fixture()
+def tiny_engine(tiny_cfg, monkeypatch):
+    params = init_video_depth_anything(jax.random.PRNGKey(2), tiny_cfg)
+    e = eng.VideoDepthEngine()
+
+    def fake_load(self, encoder, metric, checkpoint, random_init=False):
+        self._cfg = tiny_cfg
+        self._params = params
+        self._model_key = (encoder, metric, checkpoint, random_init)
+
+    monkeypatch.setattr(eng.VideoDepthEngine, "_load_model", fake_load)
+    return e
+
+
+def _write_sequence(tmp_path, n=6, h=70, w=90, fmt="plate.{:04d}.jpg"):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    seq_dir = tmp_path / "seq"
+    seq_dir.mkdir()
+    for i in range(1, n + 1):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(seq_dir / fmt.format(i)), img)
+    return str(seq_dir / "plate.%04d.jpg")
+
+
+class TestSequence:
+    def test_pattern_detection(self):
+        assert detect_frame_pattern("a/b_%04d.exr") == "%04d"
+        assert detect_frame_pattern("a/b.####.jpg") == "####"
+        assert detect_frame_pattern("a/b_%d.png") == "%d"
+        assert detect_frame_pattern("a/b.mp4") is None
+        assert is_image_sequence("x.%05d.exr")
+        assert not is_image_sequence("x.mov")
+
+    def test_format(self):
+        assert format_frame_path("p_%04d.jpg", 7) == "p_0007.jpg"
+        assert format_frame_path("p.###.jpg", 42) == "p.042.jpg"
+        assert format_frame_path("p_%d.jpg", 42) == "p_42.jpg"
+
+    def test_read_sequence(self, tmp_path):
+        template = _write_sequence(tmp_path, n=4)
+        frames, numbers = read_image_sequence(template, 1, 4)
+        assert frames.shape == (4, 70, 90, 3)
+        assert numbers == [1, 2, 3, 4]
+        # missing frames skipped
+        frames2, numbers2 = read_image_sequence(template, 1, 10)
+        assert numbers2 == [1, 2, 3, 4]
+
+
+class TestNormalization:
+    def test_near_far_mapping(self):
+        depth = np.linspace(2.0, 7.0, 10).reshape(2, 5)
+        out = eng.normalize_depth(depth, 0.0, 1.0, invert_depth=False)
+        assert out.min() == pytest.approx(0.0)
+        assert out.max() == pytest.approx(1.0)
+
+    def test_inversion(self):
+        depth = np.linspace(2.0, 7.0, 10).reshape(2, 5)
+        out = eng.normalize_depth(depth, 0.0, 1.0, invert_depth=True)
+        assert out.flat[0] == pytest.approx(1.0)
+        assert out.flat[-1] == pytest.approx(0.0)
+
+    def test_constant_depth(self):
+        depth = np.full((4, 4), 3.0)
+        out = eng.normalize_depth(depth, 0.2, 0.9, invert_depth=False)
+        np.testing.assert_allclose(out, 0.2)
+
+
+class TestEncoderDetect:
+    def test_from_job(self):
+        assert eng.detect_encoder({"encoder": "vitb"}, "x_vitl.pth") == "vitb"
+
+    def test_from_checkpoint(self):
+        assert eng.detect_encoder({}, "c/video_depth_anything_vitl.pth") == "vitl"
+
+    def test_fallback(self):
+        assert eng.detect_encoder({}, "weird.pth") == "vits"
+
+
+class TestUhdCap:
+    def test_no_resize_needed(self):
+        frames = np.zeros((2, 100, 200, 3), np.uint8)
+        out, resized, orig, new = eng.resize_frames_to_uhd_max(frames)
+        assert not resized and out.shape == frames.shape
+
+    def test_resize_over_uhd(self):
+        frames = np.zeros((1, 2400, 5000, 3), np.uint8)
+        out, resized, orig, new = eng.resize_frames_to_uhd_max(frames)
+        assert resized
+        assert new[0] <= 4096 and new[1] <= 2160
+        assert new[0] % 2 == 0 and new[1] % 2 == 0
+
+
+class TestProcessJob:
+    def test_image_sequence_job(self, tiny_engine, tmp_path):
+        template = _write_sequence(tmp_path, n=5)
+        out_dir = tmp_path / "exr_out"
+        job = {
+            "input_video": template,
+            "exr_output_dir": str(out_dir),
+            "first_frame": 1,
+            "last_frame": 5,
+            "metric_depth": False,
+            "floating_point": "full",
+            "encoder": "tiny",
+            "video_depth_anything_checkpoint": "none.pth",
+            "input_size": 56,
+            "exr_first_frame": 1001,
+            "enable_normalization": True,
+            "normalization_near": 0.0,
+            "normalization_far": 1.0,
+            "invert_depth": True,
+            "create_depth_vis_mp4": True,
+        }
+        result = tiny_engine.process_job(job)
+        assert result["status"] == "success", result
+        files = sorted(os.listdir(out_dir))
+        # 5 depth frames (exr or png fallback) + metadata + vis mp4
+        depth_files = [f for f in files if "depth.10" in f]
+        assert len(depth_files) == 5
+        assert depth_files[0].endswith(("1001.exr", "1001.png"))
+        assert "metadata.json" in files
+        assert any(f.endswith("_vis.mp4") for f in files)
+        meta = json.load(open(out_dir / "metadata.json"))
+        assert meta["encoder"] == "tiny"
+        assert meta["invert_depth"] is True
+
+    def test_error_reported_not_raised(self, tiny_engine, tmp_path):
+        result = tiny_engine.process_job({
+            "input_video": "/nonexistent/foo.%04d.jpg",
+            "exr_output_dir": str(tmp_path / "o"),
+            "first_frame": 1,
+            "last_frame": 2,
+        })
+        assert result["status"] == "error"
+        assert "message" in result
+
+
+def test_queue_protocol(tiny_engine, tmp_path, monkeypatch):
+    """One queue iteration: job file consumed, status transitions written."""
+    template = _write_sequence(tmp_path, n=3)
+    comm = tmp_path / "communication"
+    comm.mkdir()
+    job_file = comm / "job_queue.json"
+    job = {
+        "input_video": template,
+        "exr_output_dir": str(tmp_path / "out"),
+        "first_frame": 1,
+        "last_frame": 3,
+        "input_size": 56,
+    }
+    job_file.write_text(json.dumps(job))
+
+    # run a single poll iteration manually (same logic as run_queue's loop)
+    status_file = comm / "status.json"
+    with open(job_file) as f:
+        job_data = json.load(f)
+    status_file.write_text(json.dumps({"status": "processing"}))
+    result = tiny_engine.process_job(job_data)
+    status_file.write_text(json.dumps(result))
+    os.remove(job_file)
+
+    assert not job_file.exists()
+    final = json.loads(status_file.read_text())
+    assert final["status"] == "success"
+    assert (tmp_path / "out" / "metadata.json").exists()

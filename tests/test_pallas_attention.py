@@ -1,0 +1,35 @@
+"""Pallas fused attention correctness (interpreter mode on CPU; the same
+kernel runs compiled on TPU via bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vda_tpu.ops.attention import _xla_attention
+from vda_tpu.ops.pallas_attention import flash_attention
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("n", [256, 1370])
+def test_flash_matches_xla(n):
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(RNG.standard_normal((b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((b, n, h, d)).astype(np.float32))
+    scale = d ** -0.5
+    ref = np.asarray(_xla_attention(q, k, v, scale))
+    out = np.asarray(flash_attention(q, k, v, scale))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_bf16():
+    b, n, h, d = 1, 512, 2, 64
+    q = jnp.asarray(RNG.standard_normal((b, n, h, d))).astype(jnp.bfloat16)
+    k = jnp.asarray(RNG.standard_normal((b, n, h, d))).astype(jnp.bfloat16)
+    v = jnp.asarray(RNG.standard_normal((b, n, h, d))).astype(jnp.bfloat16)
+    scale = d ** -0.5
+    ref = np.asarray(_xla_attention(q, k, v, scale)).astype(np.float32)
+    out = np.asarray(flash_attention(q, k, v, scale)).astype(np.float32)
+    assert np.abs(out - ref).max() < 0.05
