@@ -222,9 +222,28 @@ class VideoDepthEngine:
 
             fp32 = (floating_point == "full") if self.fp32 is None \
                 else self.fp32
+            input_size = int(job_data.get("input_size", 518))
+            micro_batch = 4
+            if bool(job_data.get("auto_strategy", False)):
+                from apps.engine.strategies import select_strategy
+
+                strat = select_strategy(
+                    source_pixels=frames.shape[1] * frames.shape[2])
+                logger.info("auto strategy: %s", strat.name)
+                input_size = min(input_size, strat.input_size)
+                micro_batch = strat.micro_batch_size
+                fp32 = fp32 or strat.fp32
             depths, _fps = infer_video_depth(
                 self._params, frames, fps, self._cfg,
-                input_size=int(job_data.get("input_size", 518)), fp32=fp32)
+                input_size=input_size, fp32=fp32)
+
+            if bool(job_data.get("enable_stabilization", False)):
+                from apps.engine.strategies import stabilize_depth_sequence
+
+                depths = stabilize_depth_sequence(
+                    depths,
+                    temporal_window=int(job_data.get("stabilization_window",
+                                                     3)))
 
             if was_resized and bool(job_data.get("upscale_to_original",
                                                  True)):
