@@ -74,6 +74,10 @@ def load_model(args):
         params = load_params_npz(ckpt, template)
     else:
         params = load_torch_checkpoint(ckpt, cfg)
+    if not getattr(args, "fp32", False):
+        from vda_tpu.utils.convert import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
     return cfg, params
 
 

@@ -33,14 +33,15 @@ def main():
     reps = int(os.environ.get("VDA_BENCH_REPS", "5"))
     attn_impl = os.environ.get("VDA_BENCH_ATTN", "auto")
 
+    from vda_tpu.utils.convert import cast_params_for_inference
+
     cfg = get_config(encoder)
     params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(
-        lambda x: x if x.dtype != jnp.float32 else jax.device_put(x), params)
+    params = cast_params_for_inference(params)
 
     @jax.jit
     def step(params, x):
-        return forward(params, x, cfg, attn_impl=attn_impl)
+        return forward(params, x, cfg, attn_impl=attn_impl, micro_batch_size=16)
 
     x = jnp.ones((1, t, size, size, 3), jnp.bfloat16)
 

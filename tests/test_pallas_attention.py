@@ -24,6 +24,21 @@ def test_flash_matches_xla(n):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_flash_qkv_fused_matches_xla():
+    from vda_tpu.ops.pallas_attention import flash_attention_qkv
+
+    b, n, h, d = 2, 300, 4, 64
+    hd = h * d
+    qkv = jnp.asarray(RNG.standard_normal((b, n, 3 * hd)).astype(np.float32))
+    q, k, v = (qkv[..., :hd].reshape(b, n, h, d),
+               qkv[..., hd:2 * hd].reshape(b, n, h, d),
+               qkv[..., 2 * hd:].reshape(b, n, h, d))
+    scale = d ** -0.5
+    ref = np.asarray(_xla_attention(q, k, v, scale)).reshape(b, n, hd)
+    out = np.asarray(flash_attention_qkv(qkv, h, scale))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_flash_bf16():
     b, n, h, d = 1, 512, 2, 64
     q = jnp.asarray(RNG.standard_normal((b, n, h, d))).astype(jnp.bfloat16)

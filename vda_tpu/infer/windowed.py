@@ -55,7 +55,8 @@ def _window_step(params, frames_u8, prev_input, cfg: ModelConfig, net_hw,
     if use_prev:
         kf = jnp.take(prev_input, jnp.asarray(_KEYFRAMES), axis=1)
         x = jnp.concatenate([kf, x[:, OVERLAP:]], axis=1)
-    depth = forward(params, x, cfg, attn_impl=attn_impl)       # (1,T,h,w)
+    depth = forward(params, x, cfg, attn_impl=attn_impl,
+                    micro_batch_size=16)  # 16-frame decoder chunks fit v5e HBM
     d = depth[0][..., None].astype(jnp.float32)                 # (T,h,w,1)
     d = resize_bilinear(d, out_hw, align_corners=True)
     return d[..., 0], x

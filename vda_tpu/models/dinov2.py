@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from vda_tpu.config import EncoderConfig
-from vda_tpu.ops.attention import dot_product_attention
+from vda_tpu.ops.attention import _on_tpu, packed_self_attention
+
+
+def _use_pallas(n: int, dh: int) -> bool:
+    return _on_tpu() and n >= 512 and dh % 8 == 0
 from vda_tpu.ops.layers import (
     gelu,
     init_layer_norm,
@@ -130,10 +134,20 @@ def _interp_pos_embed(pos_embed, grid_hw, cfg: EncoderConfig):
 def _attention(p, x, num_heads: int, attn_impl: str):
     b, n, d = x.shape
     dh = d // num_heads
-    qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, dh)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    o = dot_product_attention(q, k, v, scale=dh ** -0.5, impl=attn_impl)
-    return linear(p["proj"], o.reshape(b, n, d))
+    qkv = linear(p["qkv"], x)
+    # fused qkv layout is [q | k | v] along the output dim
+    # (reference dinov2_layers/attention.py:44,51)
+    if attn_impl == "pallas" or (attn_impl == "auto" and _use_pallas(n, dh)):
+        from vda_tpu.ops.pallas_attention import flash_attention_qkv
+
+        # zero-copy path: the kernel reads q/k/v as lane-offset views of the
+        # fused projection output
+        o = flash_attention_qkv(qkv, num_heads, scale=dh ** -0.5)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        o = packed_self_attention(q, k, v, num_heads, scale=dh ** -0.5,
+                                  impl="xla")
+    return linear(p["proj"], o)
 
 
 def _mlp(p, x, ffn_layer: str):

@@ -60,3 +60,22 @@ def dot_product_attention(q, k, v, scale: float | None = None,
         from vda_tpu.ops.pallas_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)
+
+
+def packed_self_attention(q, k, v, heads: int, scale: float | None = None,
+                          impl: str = "auto"):
+    """Self-attention over head-packed (B, N, H*D) tensors — the fused-qkv
+    native layout, avoiding all per-head reshapes on the pallas path."""
+    b, n, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = d ** -0.5
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and n >= 512 and d % 8 == 0) else "xla"
+    if impl == "pallas":
+        from vda_tpu.ops.pallas_attention import flash_attention_packed
+        return flash_attention_packed(q, k, v, heads=heads, scale=scale)
+    qh = q.reshape(b, n, heads, d)
+    kh = k.reshape(b, n, heads, d)
+    vh = v.reshape(b, n, heads, d)
+    return _xla_attention(qh, kh, vh, scale).reshape(b, n, hd)

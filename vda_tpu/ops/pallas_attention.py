@@ -52,39 +52,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
-def _flash_bhnd(qt, kt, vt, scale: float, block_q: int):
-    """qt/kt/vt: (BH, NP, D) padded; returns (BH, NP, D)."""
-    bh, np_len, d = qt.shape
-    n_q = np_len // block_q
-    grid = (bh, n_q)
-    kernel = functools.partial(_attn_kernel, scale=scale, valid_len=np_len)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_len, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_len, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, np_len, d), qt.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * np_len * np_len * d,
-            bytes_accessed=3 * bh * np_len * d * qt.dtype.itemsize
-            + bh * np_len * d * qt.dtype.itemsize,
-            transcendentals=bh * np_len * np_len,
-        ),
-        interpret=_interpret(),
-    )(qt, kt, vt)
-
-
-def _flash_masked(qt, kt, vt, scale: float, block_q: int, valid_len: int):
-    """Variant where the padded tail of K must be masked (valid_len < NP)."""
+def _flash_bhnd(qt, kt, vt, scale: float, block_q: int, valid_len: int):
+    """qt/kt/vt: (BH, NP, D), NP a multiple of block_q; keys beyond
+    valid_len are masked."""
     bh, np_len, d = qt.shape
     kernel = functools.partial(_attn_kernel, scale=scale, valid_len=valid_len)
     return pl.pallas_call(
@@ -101,29 +71,209 @@ def _flash_masked(qt, kt, vt, scale: float, block_q: int, valid_len: int):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, np_len, d), qt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * np_len * np_len * d,
+            bytes_accessed=4 * bh * np_len * d * qt.dtype.itemsize,
+            transcendentals=bh * np_len * np_len,
+        ),
         interpret=_interpret(),
     )(qt, kt, vt)
 
 
-def flash_attention(q, k, v, scale: float, block_q: int = 256):
+def _pick_block_q(np_len: int) -> int:
+    """Largest q block whose fp32 score tile stays ~2 MB in VMEM (the packed
+    kernel also keeps full-width q/k/v/out blocks resident, so the score
+    scratch must leave room; 20 MB stack allocations fail at 16 MB VMEM)."""
+    if np_len <= 512:
+        return np_len
+    for div in (2, 4, 8, 16):
+        bq = np_len // div
+        if np_len % div == 0 and bq % 16 == 0 and bq * np_len * 4 <= 2_200_000:
+            return bq
+    return 128
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        valid_len: int, heads: int):
+    """Heads packed in the last (lane) dim: refs are (1, N, heads*dh).
+
+    A static per-head loop keeps each head's (BQ, NB) scores in registers/
+    VMEM while the q/k/v blocks are loaded once for all heads — no host-side
+    transposes ever touch HBM.
+    """
+    q = q_ref[0]              # (BQ, H*D)
+    k = k_ref[0]              # (NB, H*D)
+    v = v_ref[0]
+    d = q.shape[-1] // heads
+    nb = k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], nb), dimension=1)
+    for h in range(heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = k[:, h * d:(h + 1) * d]
+        vh = v[:, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_len < nb:
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        z = jnp.sum(e, axis=-1, keepdims=True)
+        # normalization is deferred to the (BQ, D) output — ~20x less VPU
+        # work than dividing the (BQ, NB) probability tile
+        o = jax.lax.dot_general(
+            e.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * d:(h + 1) * d] = (o / z).astype(o_ref.dtype)
+
+
+def flash_attention_packed(q, k, v, heads: int, scale: float,
+                           block_q: int | None = None):
+    """Fused attention over head-packed (B, N, H*D) tensors.
+
+    This is the layout the fused qkv projection naturally produces, so the
+    only HBM-touching prep is a pad along N to the 128-lane granule
+    (1370 -> 1408); no (B,H,N,D) transposes.
+    """
+    b, n, hd = q.shape
+    d = hd // heads
+    np_len = -(-n // 128) * 128
+    if block_q is None:
+        block_q = _pick_block_q(np_len)
+    block_q = min(block_q, np_len)
+    if np_len % block_q:
+        block_q = 128
+
+    # Head groups become a grid dim in the lane dimension: the group width
+    # must be a 128 multiple, and the group's K/V block should stay ~<=1.5 MB
+    # so everything (double-buffered) fits in the 16 MB VMEM budget.
+    candidates = [g for g in range(1, heads + 1)
+                  if heads % g == 0 and (g * d) % 128 == 0]
+    if candidates:
+        budget = 1_500_000
+        fitting = [g for g in candidates
+                   if np_len * g * d * q.dtype.itemsize <= budget]
+        g_heads = max(fitting) if fitting else min(candidates)
+    else:
+        g_heads = heads  # can't split along lanes cleanly
+    gw = g_heads * d
+    n_groups = hd // gw
+
+    pad = np_len - n
+    if pad:
+        padding = ((0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+    n_q = np_len // block_q
+
+    kernel = functools.partial(_attn_kernel_packed, scale=scale, valid_len=n,
+                               heads=g_heads)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_groups, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gw), lambda b_, g, i: (b_, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_len, gw), lambda b_, g, i: (b_, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_len, gw), lambda b_, g, i: (b_, 0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, gw), lambda b_, g, i: (b_, i, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, np_len, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * hd,
+            bytes_accessed=4 * b * n * hd * q.dtype.itemsize,
+            transcendentals=b * n * n * heads,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+    return out[:, :n] if pad else out
+
+
+def flash_attention_qkv(qkv, heads: int, scale: float,
+                        block_q: int | None = None):
+    """Fused attention DIRECTLY on the fused-qkv projection output.
+
+    qkv: (B, N, 3*H*D) laid out [q | k | v] (the torch fused-qkv convention,
+    reference dinov2_layers/attention.py:44,51).  The q/k/v views are three
+    BlockSpecs into the SAME array at different lane offsets, so between the
+    qkv matmul and the attention kernel zero copies touch HBM.
+    """
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    np_len = -(-n // 128) * 128
+    if block_q is None:
+        # smaller q blocks than the 3-input variant: the unrolled per-head
+        # loop can keep several fp32 score tiles live on the VMEM stack
+        block_q = np_len
+        if np_len > 512:
+            for div in (8, 16):
+                if np_len % div == 0 and (np_len // div) % 16 == 0:
+                    block_q = np_len // div
+                    break
+    block_q = min(block_q, np_len)
+    if np_len % block_q:
+        block_q = 128
+
+    candidates = [g for g in range(1, heads + 1)
+                  if heads % g == 0 and (g * d) % 128 == 0]
+    if candidates:
+        fitting = [g for g in candidates
+                   if np_len * g * d * qkv.dtype.itemsize <= 1_500_000]
+        g_heads = max(fitting) if fitting else min(candidates)
+    else:
+        g_heads = heads
+    gw = g_heads * d
+    n_groups = hd // gw
+
+    pad = np_len - n
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+    n_q = np_len // block_q
+
+    kernel = functools.partial(_attn_kernel_packed, scale=scale, valid_len=n,
+                               heads=g_heads)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_groups, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gw), lambda b_, g, i: (b_, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_len, gw),
+                         lambda b_, g, i, ng=n_groups: (b_, 0, ng + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_len, gw),
+                         lambda b_, g, i, ng=n_groups: (b_, 0, 2 * ng + g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, gw), lambda b_, g, i: (b_, i, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, np_len, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * hd,
+            bytes_accessed=(3 + 1) * b * n * hd * qkv.dtype.itemsize,
+            transcendentals=b * n * n * heads,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv)
+    return out[:, :n] if pad else out
+
+
+def flash_attention(q, k, v, scale: float, block_q: int | None = None):
     """Fused attention over (B, N, H, D) tensors (non-causal, self-attn).
 
-    Exact (fp32 softmax); returns (B, N, H, D) in q.dtype.
+    Exact (fp32 softmax); returns (B, N, H, D) in q.dtype.  Thin wrapper over
+    the head-packed kernel (the (B,N,H,D)->(B,N,H*D) reshape is free).
     """
     b, n, h, d = q.shape
-    np_len = -(-n // block_q) * block_q
-    pad = np_len - n
-
-    def prep(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, d)
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        return x
-
-    qt, kt, vt = prep(q), prep(k), prep(v)
-    if pad:
-        out = _flash_masked(qt, kt, vt, scale, block_q, valid_len=n)
-    else:
-        out = _flash_bhnd(qt, kt, vt, scale, block_q)
-    out = out[:, :n, :].reshape(b, h, n, d)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    out = flash_attention_packed(q.reshape(b, n, h * d),
+                                 k.reshape(b, n, h * d),
+                                 v.reshape(b, n, h * d),
+                                 heads=h, scale=scale, block_q=block_q)
+    return out.reshape(b, n, h, d)

@@ -84,9 +84,19 @@ def _cubic_matrix(in_size: int, out_size: int, align_corners: bool,
 def _apply_separable(x, mh: np.ndarray, mw: np.ndarray):
     """Apply per-axis (out,in) matrices to NHWC (or HWC / NTHWC) input.
 
-    Contraction runs in fp32 for fidelity, result cast back to input dtype.
+    fp32 inputs contract in fp32 (bit-faithful to torch/cv2).  bf16 inputs
+    contract natively on the MXU with fp32 accumulation — the analog of the
+    reference running F.interpolate under fp16 autocast.
     """
     dtype = x.dtype
+    if dtype == jnp.bfloat16:
+        a_h = jnp.asarray(mh).astype(jnp.bfloat16)
+        a_w = jnp.asarray(mw).astype(jnp.bfloat16)
+        y = jnp.einsum("oh,...hwc->...owc", a_h, x,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("pw,...owc->...opc", a_w, y.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return y.astype(dtype)
     a_h = jnp.asarray(mh)
     a_w = jnp.asarray(mw)
     x32 = x.astype(jnp.float32)

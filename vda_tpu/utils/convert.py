@@ -232,6 +232,32 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig):
     return convert_state_dict(sd, cfg)
 
 
+def cast_params_for_inference(params, dtype="bfloat16"):
+    """Cast weights to the compute dtype once, halving HBM weight traffic.
+
+    The fp32 output-conv island (reference dpt_temporal.py:105-108) keeps its
+    weights in fp32; everything else is stored in `dtype`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    target = jnp.dtype(dtype)
+
+    def cast(kp, leaf):
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+        if "output_conv2" in path:
+            return leaf
+        # only matrices/conv kernels carry meaningful HBM traffic; norm
+        # scales, biases, and LayerScale gammas stay fp32 (the reference's
+        # autocast also keeps norms in fp32)
+        if getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        return leaf.astype(target) if hasattr(leaf, "astype") else leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def save_params_npz(path: str, params):
     """Flat .npz serialization of a params pytree (native format)."""
     import jax
