@@ -1,0 +1,74 @@
+"""Training driver: sharded steps + checkpoint/resume.
+
+The reference ships the loss but no trainer (SURVEY §3.5).  This loop wires
+the sharded train step (parallel/train.py) to orbax persistence
+(utils/checkpoint.py) so a fine-tune can actually be run and resumed.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+
+from vda_tpu.config import ModelConfig
+from vda_tpu.parallel.mesh import DATA_AXIS, make_mesh, param_shardings
+from vda_tpu.parallel.train import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from vda_tpu.utils.checkpoint import resume_or_init, save_train_state
+
+
+def train(
+    cfg: ModelConfig,
+    params,
+    data_iter: Iterable[dict],
+    num_steps: int,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 500,
+    learning_rate: float = 1e-5,
+    tp: int = 1,
+    log_fn: Callable[[int, dict], None] = None,
+):
+    """Run ``num_steps`` of VideoDepthLoss fine-tuning.
+
+    data_iter yields dicts with video (B,T,H,W,3), depth (B,T,H,W),
+    mask (B,T,H,W); B must be divisible by the data-parallel degree.
+    """
+    mesh = make_mesh(tp=tp)
+    params = jax.device_put(params, param_shardings(params, mesh))
+    optimizer = make_optimizer(learning_rate)
+    state = init_train_state(params, optimizer)
+    start_step = 0
+    if ckpt_dir:
+        state, start_step = resume_or_init(ckpt_dir, state)
+
+    step_fn = jax.jit(make_train_step(cfg, optimizer))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    t0 = time.time()
+    with jax.set_mesh(mesh):
+        for step, batch in enumerate(data_iter, start=start_step):
+            if step >= num_steps:
+                break
+            batch = jax.device_put(batch, batch_sharding)
+            state, metrics = step_fn(state, batch)
+            if log_fn is not None:
+                log_fn(step, metrics)
+            elif step % 10 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"step {step}: total={m['total_loss']:.4f} "
+                      f"spatial={m['spatial_loss']:.4f} "
+                      f"stable={m['stable_loss']:.4f} "
+                      f"({time.time() - t0:.1f}s)")
+            if ckpt_dir and (step + 1) % ckpt_every == 0:
+                save_train_state(ckpt_dir, state)
+    if ckpt_dir:
+        save_train_state(ckpt_dir, state)
+    return state
