@@ -118,8 +118,11 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         if valid_len < nb:
             s = jnp.where(col < valid_len, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        z = jnp.sum(e, axis=-1, keepdims=True)
+        # exp on bf16 halves VPU transcendental time; the result feeds a
+        # bf16 MXU matmul anyway, and z accumulates in fp32
+        e = jnp.exp((s - m).astype(v.dtype)) if v.dtype == jnp.bfloat16 \
+            else jnp.exp(s - m)
+        z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
         # normalization is deferred to the (BQ, D) output — ~20x less VPU
         # work than dividing the (BQ, NB) probability tile
         o = jax.lax.dot_general(
