@@ -182,21 +182,43 @@ def prepare_tokens(params, x, cfg: EncoderConfig):
 
 
 def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
-           attn_impl: str = "auto"):
+           attn_impl: str = "auto", scan_blocks: bool = True):
     """Reference get_intermediate_layers(x, tap_idx, return_class_token=True)
     (dinov2.py:297-321).
 
     x: (B, H, W, 3) normalized images.
     Returns list of (patch_tokens (B, N, D), cls_token (B, D)) per tap, with
     the final LayerNorm applied to each tap.
+
+    scan_blocks=True runs the homogeneous block stack as lax.scan segments
+    between tap points — one block compilation per segment instead of one per
+    layer (vitl: 4 instead of 24), cutting compile time several-fold with no
+    measurable runtime cost.
     """
     taps = set(tap_idx)
     h = prepare_tokens(params, x, cfg)
     out = {}
-    for i, bp in enumerate(params["blocks"]):
-        h = block_apply(bp, h, cfg, attn_impl)
-        if i in taps:
-            out[i] = h
+    if scan_blocks:
+        boundaries = sorted(taps | {cfg.depth - 1})
+        start = 0
+        for end in boundaries:
+            seg = params["blocks"][start:end + 1]
+            if len(seg) == 1:
+                h = block_apply(seg[0], h, cfg, attn_impl)
+            else:
+                stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *seg)
+
+                def body(carry, bp):
+                    return block_apply(bp, carry, cfg, attn_impl), None
+
+                h, _ = jax.lax.scan(body, h, stacked)
+            out[end] = h
+            start = end + 1
+    else:
+        for i, bp in enumerate(params["blocks"]):
+            h = block_apply(bp, h, cfg, attn_impl)
+            if i in taps:
+                out[i] = h
     result = []
     for i in tap_idx:
         t = layer_norm(params["norm"], out[i])
