@@ -49,6 +49,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="random weights (pipeline testing only)")
     parser.add_argument("--attn-impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--window-batch", type=int, default=1,
+                        help="independent windows per forward (throughput)")
     return parser
 
 
@@ -102,7 +104,8 @@ def main(argv=None):
 
     depths, fps = infer_video_depth(
         params, frames, target_fps, cfg, input_size=args.input_size,
-        fp32=args.fp32, attn_impl=args.attn_impl, progress=progress)
+        fp32=args.fp32, attn_impl=args.attn_impl,
+        window_batch=args.window_batch, progress=progress)
     print()
 
     video_name = os.path.basename(args.input_video)

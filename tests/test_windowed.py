@@ -1,0 +1,71 @@
+"""Windowed driver: closed-form window indices, batching, and mesh fan-out."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vda_tpu.config import INFER_LEN, KEYFRAMES, OVERLAP
+from vda_tpu.infer.windowed import window_source_indices, infer_video_depth
+from vda_tpu.models import init_video_depth_anything
+
+
+def _recursive_indices(n_frames):
+    """Direct transcription of the reference recursion
+    (video_depth.py:92-105) in index space."""
+    step = INFER_LEN - OVERLAP
+    starts = list(range(0, n_frames, step))
+    windows = []
+    prev = None
+    for s in starts:
+        cur = [min(s + i, n_frames - 1) for i in range(INFER_LEN)]
+        if prev is not None:
+            cur[:OVERLAP] = [prev[k] for k in KEYFRAMES]
+        windows.append(cur)
+        prev = cur
+    return np.asarray(windows)
+
+
+@pytest.mark.parametrize("n_frames", [5, 22, 32, 40, 100, 111])
+def test_window_source_indices_match_reference_recursion(n_frames):
+    np.testing.assert_array_equal(window_source_indices(n_frames),
+                                  _recursive_indices(n_frames))
+
+
+def test_window_anchor_is_frame_zero():
+    idx = window_source_indices(200)
+    assert (idx[:, 0] == 0).all()  # global anchor frame in every window
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tiny_cfg):
+    params = init_video_depth_anything(jax.random.PRNGKey(2), tiny_cfg)
+    rng = np.random.default_rng(0)
+    frames = (rng.random((50, 70, 90, 3)) * 255).astype(np.uint8)
+    return params, frames
+
+
+def test_window_batch_matches_sequential(tiny_setup, tiny_cfg):
+    params, frames = tiny_setup
+    d1, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                              fp32=True, window_batch=1)
+    d2, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                              fp32=True, window_batch=3)
+    np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-5)
+
+
+def test_window_mesh_fanout_matches(tiny_setup, tiny_cfg):
+    """Data-parallel window fan-out over a 4-device mesh (virtual CPU)."""
+    from vda_tpu.parallel.mesh import make_mesh
+
+    params, frames = tiny_setup
+    devices = jax.devices("cpu")
+    if len(devices) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(n_devices=4, tp=1, devices=devices)
+    d1, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                              fp32=True, window_batch=1)
+    with jax.set_mesh(mesh):
+        d4, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                                  fp32=True, window_batch=4, mesh=mesh)
+    np.testing.assert_allclose(d4, d1, rtol=1e-4, atol=1e-5)

@@ -68,23 +68,24 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
                  cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl):
     """One causal step.
 
-    buffers: list of 8 arrays (STREAM_MAX_CACHE, BHW, C).
+    buffers: list of 8 arrays (BHW, _BUF_ROWS, C) — BHW-major so the context
+    gather needs no transpose.
     ctx_idx: int32 (31,) rows forming the KV context (oldest..newest).
     write_pos: int32 scalar, row to overwrite with the new frame's cache.
     """
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
     cache_list = [
-        jnp.transpose(jnp.take(buf, ctx_idx, axis=0), (1, 0, 2)).astype(dtype)
+        jnp.take(buf, ctx_idx, axis=1).astype(dtype)  # (BHW, 31, C)
         for buf in buffers
-    ]  # (BHW, 31, C) each
+    ]
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
                                       cached_hidden_state_list=cache_list)
     from vda_tpu.ops.resize import resize_bilinear
     d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
                         align_corners=True)[0, ..., 0]
     new_buffers = [
-        buf.at[write_pos].set(nc[:, 0].astype(buf.dtype))
+        buf.at[:, write_pos].set(nc[:, 0].astype(buf.dtype))
         for buf, nc in zip(buffers, new_caches)
     ]
     return d, new_buffers
@@ -127,7 +128,8 @@ class StreamingDepth:
             # replication trick (reference :118): the first frame's cache is
             # stored once; the first INFER_LEN logical entries all map to row 0
             self.buffers = [
-                jnp.zeros((_BUF_ROWS, *row.shape), row.dtype).at[0].set(row)
+                jnp.zeros((row.shape[0], _BUF_ROWS, row.shape[1]), row.dtype)
+                .at[:, 0].set(row)
                 for row in first_rows
             ]
             self.order = [0] * INFER_LEN

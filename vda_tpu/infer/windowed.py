@@ -3,16 +3,17 @@
 Rebuild of reference ``infer_video_depth`` (video_depth.py:70-162), TPU-first:
 
   * preprocessing (bicubic resize + ImageNet normalize) is one jitted
-    on-device stage over the whole 32-frame window, not a per-frame host loop
-  * the keyframe-overlap substitution (window n reuses the previous window's
-    KEYFRAMES as its first OVERLAP frames, video_depth.py:104-105) is a static
-    device-side gather
-  * the forward pass and the depth->source-resolution resize run under one
-    jit; only final fp32 depth maps cross back to the host
-  * JAX dispatch is async, so host-side stitching and video decode of window
-    n+1 overlap device compute of window n for free
-  * stitching (scale/shift + cross-fade) stays in host fp32 numpy for
-    bit-stability (vda_tpu/infer/stitching.py)
+    on-device stage per window batch, not a per-frame host loop
+  * the keyframe-overlap recursion (window n reuses the previous window's
+    KEYFRAMES as its first OVERLAP frames, video_depth.py:104-105) is solved
+    in closed form: every window's input is a direct gather of SOURCE frames
+    (input_w[0] is always source frame 0 — the global anchor — and the other
+    overlap slots map to fixed source indices).  Windows are therefore fully
+    independent: they batch on one chip (``window_batch``) and shard over the
+    data axis of a device mesh (``mesh``) with zero cross-window dependencies
+  * only final fp32 depth maps cross back to the host; stitching
+    (scale/shift + cross-fade) stays in host fp32 numpy for bit-stability
+    (vda_tpu/infer/stitching.py)
 
 Window padding repeats the last frame (video_depth.py:92-95), keeping every
 window the same static shape — no retracing.
@@ -37,29 +38,55 @@ from vda_tpu.utils.transform import (
     preprocess_frames,
 )
 
-_KEYFRAMES = np.asarray(KEYFRAMES, np.int32)
+FRAME_STEP = INFER_LEN - OVERLAP  # 22
+
+
+def window_source_indices(n_frames: int) -> np.ndarray:
+    """(n_windows, INFER_LEN) source-frame index of every window input slot.
+
+    Derivation: the reference recursion input_w[:OVERLAP] =
+    input_{w-1}[KEYFRAMES] (video_depth.py:104-105) bottoms out at source
+    frames because KEYFRAMES[0] == 0 (a fixed global anchor) and
+    KEYFRAMES[1:] >= OVERLAP (fresh frames of the previous window):
+
+        input_w[0]    = source[0]
+        input_w[j]    = source[(w-1)*22 + KEYFRAMES[j]]   for 1 <= j < 10
+        input_w[10:]  = source[w*22 + 10 : w*22 + 32]
+
+    Indices past the video end clamp to the last frame (the reference pads by
+    repeating it, video_depth.py:92-95).
+    """
+    n_windows = -(-n_frames // FRAME_STEP) if n_frames > 0 else 0
+    n_windows = len(range(0, n_frames, FRAME_STEP))
+    idx = np.empty((n_windows, INFER_LEN), np.int64)
+    kf = np.asarray(KEYFRAMES, np.int64)
+    for w in range(n_windows):
+        if w == 0:
+            idx[w] = np.arange(INFER_LEN)
+        else:
+            idx[w, 0] = 0
+            idx[w, 1:OVERLAP] = (w - 1) * FRAME_STEP + kf[1:]
+            idx[w, OVERLAP:] = w * FRAME_STEP + np.arange(OVERLAP, INFER_LEN)
+    return np.minimum(idx, n_frames - 1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "net_hw", "out_hw", "dtype", "use_prev", "attn_impl"),
+    static_argnames=("cfg", "net_hw", "out_hw", "dtype", "attn_impl"),
 )
-def _window_step(params, frames_u8, prev_input, cfg: ModelConfig, net_hw,
-                 out_hw, dtype, use_prev: bool, attn_impl: str):
-    """One window: preprocess -> keyframe substitution -> forward -> resize.
-
-    frames_u8: (T, H, W, 3) uint8.  Returns (depth (T, outH, outW) fp32,
-    cur_input (1, T, h, w, 3) network input for the next window's overlap).
-    """
-    x = preprocess_frames(frames_u8, net_hw, dtype=dtype)[None]  # (1,T,h,w,3)
-    if use_prev:
-        kf = jnp.take(prev_input, jnp.asarray(_KEYFRAMES), axis=1)
-        x = jnp.concatenate([kf, x[:, OVERLAP:]], axis=1)
+def _window_batch_step(params, frames_u8, cfg: ModelConfig, net_hw, out_hw,
+                       dtype, attn_impl: str):
+    """(W, T, H, W0, 3) uint8 windows -> (W, T, outH, outW) fp32 depths."""
+    x = preprocess_frames(frames_u8, net_hw, dtype=dtype)
     depth = forward(params, x, cfg, attn_impl=attn_impl,
                     micro_batch_size=16)  # 16-frame decoder chunks fit v5e HBM
-    d = depth[0][..., None].astype(jnp.float32)                 # (T,h,w,1)
+    # the reference also emits reduced-precision depths before stitching
+    # (video_depth.py:111 casts to the fp16 input dtype); a float16 transfer
+    # halves device->host traffic and carries MORE mantissa than bf16
+    d = depth[..., None]
     d = resize_bilinear(d, out_hw, align_corners=True)
-    return d[..., 0], x
+    d = d[..., 0]
+    return d if dtype == jnp.float32 else d.astype(jnp.float16)
 
 
 def infer_video_depth(
@@ -70,6 +97,8 @@ def infer_video_depth(
     input_size: int = 518,
     fp32: bool = False,
     attn_impl: str = "auto",
+    window_batch: int = 1,
+    mesh=None,
     progress: Optional[callable] = None,
 ):
     """frames: (N, H, W, 3) uint8 RGB.  Returns (depths (N, H, W) fp32, fps).
@@ -78,37 +107,49 @@ def infer_video_depth(
     including the aspect-ratio guard, window padding, keyframe overlap, and
     scale/shift stitching.  ``fp32=False`` runs the network in bfloat16
     (the TPU analog of the reference's fp16 autocast, video_depth.py:107-109).
+
+    window_batch > 1 batches independent windows into one forward for higher
+    chip utilization; with ``mesh`` (a ('data','model') jax Mesh) the window
+    batch is sharded over the data axis (set window_batch to a multiple of
+    the data-parallel degree).
     """
     n_frames, frame_h, frame_w = frames.shape[:3]
     size = effective_input_size(frame_h, frame_w, input_size)
     net_hw = compute_resize_hw(frame_h, frame_w, size)
     dtype = jnp.float32 if fp32 else jnp.bfloat16
 
-    frame_step = INFER_LEN - OVERLAP
-    append_len = ((frame_step - n_frames % frame_step) % frame_step
-                  + (INFER_LEN - frame_step))
-    idx = np.concatenate([np.arange(n_frames),
-                          np.full(append_len, n_frames - 1, np.int64)])
+    idx = window_source_indices(n_frames)
+    n_windows = idx.shape[0]
+    wb = max(1, min(window_batch, n_windows))
 
-    depth_list = []
-    prev_input = None
-    window_starts = list(range(0, n_frames, frame_step))
-    for wi, start in enumerate(window_starts):
-        window_u8 = frames[idx[start:start + INFER_LEN]]
-        use_prev = prev_input is not None
-        if prev_input is None:
-            # constant placeholder so the jitted signature stays fixed
-            prev_input = jnp.zeros((1, INFER_LEN, *net_hw, 3), dtype)
-        d, prev_input = _window_step(
-            params, jnp.asarray(window_u8), prev_input, cfg, net_hw,
-            (frame_h, frame_w), dtype, use_prev, attn_impl)
-        depth_list.append(d)
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vda_tpu.parallel.mesh import DATA_AXIS
+
+        data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        dp = mesh.shape[DATA_AXIS]
+        wb = -(-wb // dp) * dp  # window batch must fill the data axis
+
+    depth_batches = []
+    for start in range(0, n_windows, wb):
+        batch_idx = idx[start:start + wb]
+        if batch_idx.shape[0] < wb:  # pad batch to keep the jit shape static
+            pad = wb - batch_idx.shape[0]
+            batch_idx = np.concatenate([batch_idx, batch_idx[-1:].repeat(pad, 0)])
+        window_u8 = jnp.asarray(frames[batch_idx])  # (wb, 32, H, W, 3)
+        if data_sharding is not None:
+            window_u8 = jax.device_put(window_u8, data_sharding)
+        d = _window_batch_step(params, window_u8, cfg, net_hw,
+                               (frame_h, frame_w), dtype, attn_impl)
+        depth_batches.append(d[:idx[start:start + wb].shape[0]])
         if progress is not None:
-            progress(wi + 1, len(window_starts))
+            progress(min(start + wb, n_windows), n_windows)
 
-    # device -> host once per window; stitching in fp32 numpy
+    # device -> host once per batch; stitching in fp32 numpy
     host_depths = []
-    for d in depth_list:
-        host_depths.extend(list(np.asarray(d)))
+    for d in depth_batches:
+        arr = np.asarray(d).astype(np.float32)
+        host_depths.extend(list(arr.reshape(-1, *arr.shape[2:])))
     aligned = stitch_windows(host_depths, metric=cfg.metric)
     return np.stack(aligned[:n_frames], axis=0), target_fps
