@@ -166,25 +166,36 @@ class VideoDepthEngine:
     # ------------------------------------------------------------------
     def _write_exr_sequence(self, depths: np.ndarray, out_dir: str,
                             shot_name: str, exr_first_frame: int,
-                            floating_point: str, metadata: Dict):
-        """EXR Z-channel sequence with PNG fallback
-        (reference engine.py:851-959)."""
+                            floating_point: str, metadata: Dict,
+                            output_format: str = "exr"):
+        """Depth sequence writer: EXR Z-channel with PNG fallback
+        (reference engine.py:851-959), or explicit 16-bit PNG output
+        (reference engine_old.py:169-280 output_format switch)."""
         from vda_tpu.utils.io import save_depth_exr
 
         os.makedirs(out_dir, exist_ok=True)
         written = []
+        d_min, d_max = float(depths.min()), float(depths.max())
         for i, depth in enumerate(depths):
             frame_no = exr_first_frame + i
-            path = os.path.join(out_dir, f"{shot_name}_depth.{frame_no:04d}.exr")
             d = depth.astype(np.float32)
-            if not save_depth_exr(path, d):
+            if output_format == "png":
                 import cv2
-                png = path.replace(".exr", ".png")
-                dn = (d - d.min()) / max(d.max() - d.min(), 1e-8)
-                cv2.imwrite(png, (dn * 65535).astype(np.uint16))
-                path = png
+                path = os.path.join(out_dir,
+                                    f"{shot_name}_depth.{frame_no:04d}.png")
+                dn = (d - d_min) / max(d_max - d_min, 1e-8)
+                cv2.imwrite(path, (dn * 65535).astype(np.uint16))
             else:
-                meta_mod.embed_exr_metadata(path, metadata)
+                path = os.path.join(out_dir,
+                                    f"{shot_name}_depth.{frame_no:04d}.exr")
+                if not save_depth_exr(path, d):
+                    import cv2
+                    png = path.replace(".exr", ".png")
+                    dn = (d - d.min()) / max(d.max() - d.min(), 1e-8)
+                    cv2.imwrite(png, (dn * 65535).astype(np.uint16))
+                    path = png
+                else:
+                    meta_mod.embed_exr_metadata(path, metadata)
             written.append(path)
         return written
 
@@ -267,7 +278,8 @@ class VideoDepthEngine:
                 frame_range=(numbers[0], numbers[-1]))
             written = self._write_exr_sequence(
                 depths, exr_output_dir, shot_name, exr_first_frame,
-                floating_point, metadata)
+                floating_point, metadata,
+                output_format=job_data.get("output_format", "exr"))
             meta_mod.write_sidecar(exr_output_dir, metadata)
 
             from vda_tpu.utils.io import save_video
