@@ -81,6 +81,10 @@ def init_dpt_head(key, cfg: ModelConfig, temporal: bool = True):
             "conv1": init_conv2d(keys[17], 1, 32, 1),
         },
     }
+    # bias the final pre-ReLU conv positive so a randomly initialized model
+    # produces nonzero depth (torch's uniform init leaves ~50% of seeds with
+    # an all-dead output ReLU); loaded checkpoints overwrite this anyway
+    p["output_conv2"]["conv1"]["b"] = jnp.abs(p["output_conv2"]["conv1"]["b"]) + 0.1
     if temporal:
         p["motion_modules"] = [
             init_temporal_module(keys[18], oc[2], cfg),

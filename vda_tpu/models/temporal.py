@@ -158,14 +158,31 @@ def _temporal_attention(p, h, cfg: ModelConfig,
 
     heads = cfg.num_attention_heads
     dh = c // heads
-    qh = q.reshape(bd, -1, heads, dh)
-    kh = k.reshape(bd, t_full, heads, dh)
-    vh = v.reshape(bd, t_full, heads, dh)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                        preferred_element_type=jnp.float32) * (dh ** -0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, -1, c)
+    t_q = q.shape[1]
+    use_kernel = (t_q == t_full and t_full <= 64 and dh % 8 == 0
+                  and _on_tpu_or_interpret())
+    if use_kernel:
+        from vda_tpu.ops.pallas_attention import tiny_seq_attention
+
+        o = tiny_seq_attention(q, k, v, heads=heads, seq=t_full,
+                               scale=dh ** -0.5)
+    else:
+        qh = q.reshape(bd, -1, heads, dh)
+        kh = k.reshape(bd, t_full, heads, dh)
+        vh = v.reshape(bd, t_full, heads, dh)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * (dh ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, -1, c)
     return linear(p["to_out"], o), input_hidden_states
+
+
+def _on_tpu_or_interpret() -> bool:
+    import os
+
+    from vda_tpu.ops.attention import _on_tpu
+
+    return _on_tpu() or os.environ.get("VDA_PALLAS_INTERPRET", "0") == "1"
 
 
 def _transformer_block(p, h, cfg: ModelConfig, caches):

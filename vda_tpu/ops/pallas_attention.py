@@ -211,13 +211,15 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
     hd = hd3 // 3
     d = hd // heads
     np_len = -(-n // 128) * 128
+    # Tuning (v5e, ViT shape 32x1408x16x64): 4 heads per group with two
+    # 704-row q blocks hits 62 TF/s vs 53 for 8-head groups with 176-row
+    # blocks — narrower K/V blocks leave VMEM for big score tiles.
     if block_q is None:
-        # smaller q blocks than the 3-input variant: the unrolled per-head
-        # loop can keep several fp32 score tiles live on the VMEM stack
         block_q = np_len
-        if np_len > 512:
-            for div in (8, 16):
-                if np_len % div == 0 and (np_len // div) % 16 == 0:
+        if np_len > 768:
+            for div in (2, 4, 8, 16):
+                if np_len % div == 0 and (np_len // div) % 16 == 0 \
+                        and (np_len // div) * np_len * 4 <= 4_200_000:
                     block_q = np_len // div
                     break
     block_q = min(block_q, np_len)
@@ -227,8 +229,7 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
     candidates = [g for g in range(1, heads + 1)
                   if heads % g == 0 and (g * d) % 128 == 0]
     if candidates:
-        fitting = [g for g in candidates
-                   if np_len * g * d * qkv.dtype.itemsize <= 1_500_000]
+        fitting = [g for g in candidates if g * d <= 256]
         g_heads = max(fitting) if fitting else min(candidates)
     else:
         g_heads = heads
@@ -266,6 +267,91 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
         interpret=_interpret(),
     )(qkv, qkv, qkv)
     return out[:, :n] if pad else out
+
+
+def _tiny_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq: int,
+                     heads: int):
+    """Per-position temporal attention over tiny sequences.
+
+    Refs are (ROWS, H*D) where ROWS = G*seq flattened (position-major) — each
+    consecutive ``seq`` rows form one independent attention problem.  Scores
+    for a whole G-position tile are computed in ONE full-width MXU pass per
+    head with a static block-diagonal mask (off-block = -inf), so the extra
+    flops are free relative to thousands of (seq, d) batched matmuls, and the
+    (ROWS, ROWS) score tile never touches HBM.
+    """
+    rows = q_ref.shape[0]
+    d = q_ref.shape[-1] // heads
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // seq
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // seq
+    same = row_blk == col_blk
+    for h in range(heads):
+        qh = q_ref[:, h * d:(h + 1) * d]
+        kh = k_ref[:, h * d:(h + 1) * d]
+        vh = v_ref[:, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(same, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp((s - m).astype(vh.dtype)) if vh.dtype == jnp.bfloat16 \
+            else jnp.exp(s - m)
+        z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:, h * d:(h + 1) * d] = (o / z).astype(o_ref.dtype)
+
+
+def tiny_seq_attention(q, k, v, heads: int, seq: int, scale: float,
+                       rows_per_tile: int = 256):
+    """Batched self-attention over (BD, seq, C) with seq <= 64.
+
+    Replaces the temporal-attention einsum (reference
+    motion_module/attention.py:182-211 math): thousands of tiny batched
+    matmuls run at ~3 TF/s on the MXU; tiling G positions per kernel cell
+    with an in-VMEM block-diagonal mask recovers full-width passes.
+    """
+    bd, t, c = q.shape
+    assert t == seq
+    g = max(rows_per_tile // seq, 1)
+    tile = g * seq
+    pad_bd = (-bd) % g
+    if pad_bd:
+        padding = ((0, pad_bd), (0, 0), (0, 0))
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+    total = (bd + pad_bd) * seq
+    qf = q.reshape(total, c)
+    kf = k.reshape(total, c)
+    vf = v.reshape(total, c)
+
+    kernel = functools.partial(_tiny_seq_kernel, scale=scale, seq=seq,
+                               heads=heads)
+    out = pl.pallas_call(
+        kernel,
+        grid=(total // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * total * seq * c,
+            bytes_accessed=4 * total * c * q.dtype.itemsize,
+            transcendentals=total * seq * heads,
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    out = out.reshape(bd + pad_bd, seq, c)
+    return out[:bd] if pad_bd else out
 
 
 def flash_attention(q, k, v, scale: float, block_q: int | None = None):
