@@ -11,11 +11,12 @@ Rebuild of reference video_depth_anything/video_depth_stream.py:77-161:
     entry 1 once the window has slid past STREAM_GAP (reference :155-160)
 
 TPU-native design: each of the 8 cache slots is ONE device array of shape
-(STREAM_MAX_CACHE, B*H*W, C) — a fixed-capacity ring-like buffer.  Every step
-runs two jitted functions with fully static shapes: the assembled 31-entry
-context is a ``jnp.take`` with a host-computed index vector (the only dynamic
-data, an int32 (31,) array), and the new cache row is written with
-``.at[pos].set``.  No retracing, no growing Python lists of device arrays.
+(B*H*W, _BUF_ROWS, C) — a fixed-capacity buffer, BHW-major so assembling the
+KV context is a transpose-free gather.  Every step runs one jitted function
+with fully static shapes: the 31-entry context is a ``jnp.take`` with a
+host-computed index vector (the only dynamic data, an int32 (31,) array), and
+the new cache row is written with ``.at[:, pos].set``.  No retracing, no
+growing Python lists of device arrays.
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ import numpy as np
 
 from vda_tpu.config import (
     INFER_LEN,
-    NUM_CACHE_TENSORS,
     STREAM_GAP,
     STREAM_MAX_CACHE,
     ModelConfig,
