@@ -147,6 +147,18 @@ def _output_tail(p, path_3, layer_2_rn, layer_1_rn, out_hw):
     out = conv2d(p["output_conv1"], path_1, padding=1)
     out = resize_bilinear(out, out_hw, align_corners=True)
     ori_dtype = out.dtype
+    if ori_dtype == jnp.bfloat16:
+        # fp32 island, TPU form: fp32 convs are MXU-emulated at ~16 TF/s
+        # (6-pass), ~10% of a vitl window.  The island's purpose is fp32
+        # ACCUMULATION over the 9x128 conv sums — the input here is already
+        # bf16-precision (it came through the bf16 pipeline), so bf16
+        # operands + fp32 accumulation + fp32 elementwise preserve it at
+        # MXU-native speed.
+        out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv0"], out, padding=1,
+                                   accumulate_fp32=True))  # fp32 out + bias
+        out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv1"], out32,
+                                   padding=0))
+        return out32.astype(ori_dtype)
     out32 = out.astype(jnp.float32)
     out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv0"], out32, padding=1))
     out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv1"], out32, padding=0))

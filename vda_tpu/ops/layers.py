@@ -72,20 +72,25 @@ def group_norm(p, x, num_groups: int, eps: float = 1e-6):
     return y.astype(dtype)
 
 
-def conv2d(p, x, stride: int = 1, padding="SAME"):
+def conv2d(p, x, stride: int = 1, padding="SAME", accumulate_fp32=False):
     """2D conv, NHWC / HWIO.
 
     padding: "SAME", "VALID", or an int (symmetric spatial padding, torch
-    style).
+    style).  accumulate_fp32=True emits an fp32 result from low-precision
+    operands (MXU-native fp32 accumulation).
     """
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     w = p["w"].astype(x.dtype)
+    kwargs = {}
+    if accumulate_fp32:
+        kwargs["preferred_element_type"] = jnp.float32
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        **kwargs,
     )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
