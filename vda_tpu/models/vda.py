@@ -31,7 +31,8 @@ def init_video_depth_anything(key, cfg: ModelConfig):
     }
 
 
-def forward_features(params, x, cfg: ModelConfig, attn_impl: str = "auto"):
+def forward_features(params, x, cfg: ModelConfig, attn_impl: str = "auto",
+                     remat: bool = False):
     """Encoder taps (reference video_depth_stream.py:65-67).
 
     x: (B, T, H, W, 3) -> list of 4 (tokens (B*T, N, D), cls (B*T, D)).
@@ -39,7 +40,7 @@ def forward_features(params, x, cfg: ModelConfig, attn_impl: str = "auto"):
     b, t, h, w, c = x.shape
     flat = x.reshape(b * t, h, w, c)
     return encode(params["pretrained"], flat, cfg.vit,
-                  cfg.intermediate_layer_idx, attn_impl)
+                  cfg.intermediate_layer_idx, attn_impl, remat=remat)
 
 
 def forward_depth(params, features, x_shape, cfg: ModelConfig,
@@ -61,9 +62,9 @@ def forward_depth(params, features, x_shape, cfg: ModelConfig,
 
 
 def forward(params, x, cfg: ModelConfig, attn_impl: str = "auto",
-            micro_batch_size: int = 4):
+            micro_batch_size: int = 4, remat: bool = False):
     """Full forward (reference video_depth.py:61-68): (B,T,H,W,3) -> (B,T,H,W)."""
-    features = forward_features(params, x, cfg, attn_impl)
+    features = forward_features(params, x, cfg, attn_impl, remat=remat)
     depth, _ = forward_depth(params, features, x.shape, cfg,
                              micro_batch_size=micro_batch_size)
     return depth

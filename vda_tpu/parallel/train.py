@@ -32,7 +32,8 @@ def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2):
 
 
 def make_train_step(cfg: ModelConfig, optimizer=None,
-                    micro_batch_size: int | None = None) -> Callable:
+                    micro_batch_size: int | None = None,
+                    remat: bool = True) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: dict(video (B,T,H,W,3), depth (B,T,H,W), mask (B,T,H,W)).
@@ -46,7 +47,7 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
         mb = micro_batch_size or (batch["video"].shape[0]
                                   * batch["video"].shape[1])
         pred = forward(params, batch["video"], cfg, attn_impl="xla",
-                       micro_batch_size=mb)
+                       micro_batch_size=mb, remat=remat)
         losses = video_depth_loss(pred.astype(jnp.float32),
                                   batch["depth"].astype(jnp.float32),
                                   batch["mask"])
