@@ -86,7 +86,6 @@ def test_feed_forward_parity(ref_attn_mod, act):
     p = {
         "proj": {"w": t(proj.weight), "b": proj.bias.detach().numpy()},
         "out": {"w": t(ff.net[2].weight), "b": ff.net[2].bias.detach().numpy()},
-        "activation_fn": act,
     }
-    ours = feed_forward(p, jnp.asarray(x))
+    ours = feed_forward(p, jnp.asarray(x), activation_fn=act)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)

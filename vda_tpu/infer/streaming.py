@@ -63,7 +63,8 @@ def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl"))
+                                             "attn_impl"),
+                   donate_argnums=(2,))  # buffers update in place (~600 MB)
 def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
                  cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl):
     """One causal step.

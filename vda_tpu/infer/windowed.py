@@ -56,7 +56,6 @@ def window_source_indices(n_frames: int) -> np.ndarray:
     Indices past the video end clamp to the last frame (the reference pads by
     repeating it, video_depth.py:92-95).
     """
-    n_windows = -(-n_frames // FRAME_STEP) if n_frames > 0 else 0
     n_windows = len(range(0, n_frames, FRAME_STEP))
     idx = np.empty((n_windows, INFER_LEN), np.int64)
     kf = np.asarray(KEYFRAMES, np.int64)
@@ -80,10 +79,10 @@ def _window_batch_step(params, frames_u8, cfg: ModelConfig, net_hw, out_hw,
     x = preprocess_frames(frames_u8, net_hw, dtype=dtype)
     depth = forward(params, x, cfg, attn_impl=attn_impl,
                     micro_batch_size=16)  # 16-frame decoder chunks fit v5e HBM
-    # the reference also emits reduced-precision depths before stitching
-    # (video_depth.py:111 casts to the fp16 input dtype); a float16 transfer
-    # halves device->host traffic and carries MORE mantissa than bf16
-    d = depth[..., None]
+    # final resize in fp32 (strictly better than the reference, which
+    # interpolates in fp16, video_depth.py:111-112), then a float16 transfer:
+    # halves device->host traffic while keeping fp16's 10-bit mantissa
+    d = depth[..., None].astype(jnp.float32)
     d = resize_bilinear(d, out_hw, align_corners=True)
     d = d[..., 0]
     return d if dtype == jnp.float32 else d.astype(jnp.float16)
@@ -142,14 +141,15 @@ def infer_video_depth(
             window_u8 = jax.device_put(window_u8, data_sharding)
         d = _window_batch_step(params, window_u8, cfg, net_hw,
                                (frame_h, frame_w), dtype, attn_impl)
-        depth_batches.append(d[:idx[start:start + wb].shape[0]])
+        # fetch each batch to the host immediately — keeping all window
+        # depths resident would grow HBM linearly with video length
+        depth_batches.append(
+            np.asarray(d[:idx[start:start + wb].shape[0]]).astype(np.float32))
         if progress is not None:
             progress(min(start + wb, n_windows), n_windows)
 
-    # device -> host once per batch; stitching in fp32 numpy
     host_depths = []
-    for d in depth_batches:
-        arr = np.asarray(d).astype(np.float32)
+    for arr in depth_batches:
         host_depths.extend(list(arr.reshape(-1, *arr.shape[2:])))
     aligned = stitch_windows(host_depths, metric=cfg.metric)
     return np.stack(aligned[:n_frames], axis=0), target_fps

@@ -79,19 +79,18 @@ def cross_attention(p, hidden_states, heads: int,
     inner = q.shape[-1]
     dh = inner // heads
 
-    context = encoder_hidden_states if encoder_hidden_states is not None else h
-    k = linear(p["to_k"], context)
-    v = linear(p["to_v"], context)
-
     if "add_k_proj" in p and encoder_hidden_states is not None:
-        # added-kv path (reference attention.py:137-149): keys/values from
-        # the hidden states are concatenated after the encoder projections
-        k_self = linear(p["to_k"], h)
-        v_self = linear(p["to_v"], h)
+        # added-kv path (reference attention.py:137-149): self keys/values
+        # concatenated after the encoder projections
         k = jnp.concatenate([linear(p["add_k_proj"], encoder_hidden_states),
-                             k_self], axis=1)
+                             linear(p["to_k"], h)], axis=1)
         v = jnp.concatenate([linear(p["add_v_proj"], encoder_hidden_states),
-                             v_self], axis=1)
+                             linear(p["to_v"], h)], axis=1)
+    else:
+        context = (encoder_hidden_states
+                   if encoder_hidden_states is not None else h)
+        k = linear(p["to_k"], context)
+        v = linear(p["to_v"], context)
 
     qh = q.reshape(b, -1, heads, dh)
     kh = k.reshape(b, -1, heads, dh)
@@ -121,12 +120,12 @@ def init_feed_forward(key, dim: int, dim_out: Optional[int] = None,
     return {
         "proj": init_linear(k1, dim, proj_out),
         "out": init_linear(k2, inner, dim_out),
-        "activation_fn": activation_fn,
     }
 
 
-def feed_forward(p, x):
-    act = p["activation_fn"]
+def feed_forward(p, x, activation_fn: str = "geglu"):
+    """activation_fn is a static argument (params stay array-only pytrees)."""
+    act = activation_fn
     h = linear(p["proj"], x)
     if act == "geglu":
         h1, gate = jnp.split(h, 2, axis=-1)

@@ -110,7 +110,7 @@ def _patch_embed(p, x):
     # it directly so XLA always lowers to one large MXU matmul.
     xx = x.reshape(b, ph, k, pw, k, c)
     xx = xx.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph * pw, k * k * c)
-    wk = p["w"].astype(x.dtype).transpose(0, 1, 2, 3).reshape(k * k * c, -1)
+    wk = p["w"].astype(x.dtype).reshape(k * k * c, -1)
     return jnp.matmul(xx, wk) + p["b"].astype(x.dtype)
 
 

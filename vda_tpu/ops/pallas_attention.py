@@ -30,56 +30,6 @@ def _interpret() -> bool:
     return os.environ.get("VDA_PALLAS_INTERPRET", "0") == "1"
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
-    q = q_ref[0]            # (BQ, D)
-    k = k_ref[0]            # (NP, D)
-    v = v_ref[0]            # (NP, D)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale               # (BQ, NP) fp32
-    np_len = k.shape[0]
-    if valid_len < np_len:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < valid_len, s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    z = jnp.sum(e, axis=-1, keepdims=True)
-    p = (e / z).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
-
-
-def _flash_bhnd(qt, kt, vt, scale: float, block_q: int, valid_len: int):
-    """qt/kt/vt: (BH, NP, D), NP a multiple of block_q; keys beyond
-    valid_len are masked."""
-    bh, np_len, d = qt.shape
-    kernel = functools.partial(_attn_kernel, scale=scale, valid_len=valid_len)
-    return pl.pallas_call(
-        kernel,
-        grid=(bh, np_len // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_len, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_len, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, np_len, d), qt.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * np_len * np_len * d,
-            bytes_accessed=4 * bh * np_len * d * qt.dtype.itemsize,
-            transcendentals=bh * np_len * np_len,
-        ),
-        interpret=_interpret(),
-    )(qt, kt, vt)
-
-
 def _pick_block_q(np_len: int) -> int:
     """Largest q block whose fp32 score tile stays ~2 MB in VMEM (the packed
     kernel also keeps full-width q/k/v/out blocks resident, so the score

@@ -67,8 +67,9 @@ def inferno_colormap() -> np.ndarray:
     """(256, 3) float inferno LUT (reference dc_utils.py:75 uses matplotlib)."""
     global _INFERNO
     if _INFERNO is None:
-        import matplotlib.cm as cm
-        _INFERNO = np.asarray(cm.get_cmap("inferno")(np.arange(256))[:, :3])
+        import matplotlib
+        _INFERNO = np.asarray(
+            matplotlib.colormaps["inferno"](np.arange(256))[:, :3])
     return _INFERNO
 
 
