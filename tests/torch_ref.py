@@ -67,7 +67,10 @@ def import_reference():
     _shim_easydict()
     _shim_torchvision()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND so the reference's top-level dirs (benchmark/, utils/) never
+        # shadow our own packages; only names we don't define (the reference
+        # video_depth_anything package, its utils) resolve from there
+        sys.path.append(REFERENCE_ROOT)
     import video_depth_anything  # noqa: F401
     from video_depth_anything import dinov2, dpt_temporal  # noqa: F401
     return sys.modules["video_depth_anything"]
