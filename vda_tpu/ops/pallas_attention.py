@@ -56,7 +56,13 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     v = v_ref[0]
     d = q.shape[-1] // heads
     nb = k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], nb), dimension=1)
+    bf16 = v.dtype == jnp.bfloat16
+    # hoisted once: each (BQ, NB) tile shares the key-padding mask
+    mask = None
+    if valid_len < nb:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], nb),
+                                       dimension=1)
+        mask = col < valid_len
     for h in range(heads):
         qh = q[:, h * d:(h + 1) * d]
         kh = k[:, h * d:(h + 1) * d]
@@ -65,13 +71,11 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        if valid_len < nb:
-            s = jnp.where(col < valid_len, s, -jnp.inf)
+        if mask is not None:
+            s = jnp.where(mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
-        # exp on bf16 halves VPU transcendental time; the result feeds a
-        # bf16 MXU matmul anyway, and z accumulates in fp32
-        e = jnp.exp((s - m).astype(v.dtype)) if v.dtype == jnp.bfloat16 \
-            else jnp.exp(s - m)
+        # exp in bf16 (its result feeds a bf16 matmul anyway); stats fp32
+        e = jnp.exp((s - m).astype(jnp.bfloat16)) if bf16 else jnp.exp(s - m)
         z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
         # normalization is deferred to the (BQ, D) output — ~20x less VPU
         # work than dividing the (BQ, NB) probability tile
