@@ -54,6 +54,19 @@ def test_window_batch_matches_sequential(tiny_setup, tiny_cfg):
     np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-5)
 
 
+def test_bf16_pipeline_close_to_fp32(tiny_setup, tiny_cfg):
+    """The bf16 inference path (bf16 compute + fp16 depth transfer) must stay
+    within bf16 noise of the fp32 path end-to-end through stitching."""
+    params, frames = tiny_setup
+    d32, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                               fp32=True)
+    d16, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                               fp32=False)
+    scale = max(np.abs(d32).max(), 1e-6)
+    rel = np.abs(d16 - d32).max() / scale
+    assert rel < 0.1, f"bf16 pipeline deviates {rel:.3f} from fp32"
+
+
 def test_window_mesh_fanout_matches(tiny_setup, tiny_cfg):
     """Data-parallel window fan-out over a 4-device mesh (virtual CPU)."""
     from vda_tpu.parallel.mesh import make_mesh
