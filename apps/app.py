@@ -23,21 +23,12 @@ def build_demo(encoder: str = "vitl", checkpoint: str = None,
             "gradio is not installed in this environment; the demo UI is "
             "unavailable. Use apps/run.py for CLI inference.") from e
 
-    import jax
-
-    from vda_tpu.config import checkpoint_name, get_config
     from vda_tpu.infer import infer_video_depth
-    from vda_tpu.models import init_video_depth_anything
-    from vda_tpu.utils.convert import load_torch_checkpoint
     from vda_tpu.utils.io import read_video_frames, save_video
+    from vda_tpu.utils.loader import load_model_params
 
-    cfg = get_config(encoder)
-    if random_init:
-        params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
-    else:
-        ckpt = checkpoint or os.path.join(
-            "./checkpoints", checkpoint_name(encoder) + ".pth")
-        params = load_torch_checkpoint(ckpt, cfg)
+    cfg, params = load_model_params(encoder, checkpoint=checkpoint,
+                                    random_init=random_init)
 
     def infer(video_path, max_len, target_fps, max_res):
         frames, fps = read_video_frames(video_path, int(max_len),

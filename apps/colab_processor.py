@@ -26,22 +26,13 @@ class BatchSequenceProcessor:
     def __init__(self, encoder: str = "vits", metric: bool = False,
                  checkpoint: Optional[str] = None, fp32: bool = False,
                  random_init: bool = False, input_size: int = 518):
-        import jax
+        from vda_tpu.utils.loader import load_model_params
 
-        from vda_tpu.config import checkpoint_name, get_config
-        from vda_tpu.models import init_video_depth_anything
-        from vda_tpu.utils.convert import load_torch_checkpoint
-
-        self.cfg = get_config(encoder, metric=metric)
         self.input_size = input_size
         self.fp32 = fp32
-        if random_init:
-            self.params = init_video_depth_anything(jax.random.PRNGKey(0),
-                                                    self.cfg)
-        else:
-            ckpt = checkpoint or os.path.join(
-                "./checkpoints", checkpoint_name(encoder, metric) + ".pth")
-            self.params = load_torch_checkpoint(ckpt, self.cfg)
+        self.cfg, self.params = load_model_params(
+            encoder, metric=metric, checkpoint=checkpoint,
+            random_init=random_init, cast_bf16=not fp32)
 
     def process_sequence(self, frame_template: str, first_frame: int,
                          last_frame: int, output_dir: str,

@@ -128,21 +128,16 @@ class VideoDepthEngine:
 
     # ------------------------------------------------------------------
     def _load_model(self, encoder: str, metric: bool, checkpoint: str,
-                    random_init: bool = False):
-        key = (encoder, metric, checkpoint, random_init)
+                    random_init: bool = False, fp32: bool = False):
+        key = (encoder, metric, checkpoint, random_init, fp32)
         if key == self._model_key:
             return
-        import jax
+        from vda_tpu.utils.loader import load_model_params
 
-        from vda_tpu.config import get_config
-        from vda_tpu.models import init_video_depth_anything
-        from vda_tpu.utils.convert import load_torch_checkpoint
-
-        cfg = get_config(encoder, metric=metric)
-        if random_init:
-            params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
-        else:
-            params = load_torch_checkpoint(checkpoint, cfg)
+        cfg, params = load_model_params(encoder, metric=metric,
+                                        checkpoint=checkpoint,
+                                        random_init=random_init,
+                                        cast_bf16=not fp32)
         self._model_key, self._cfg, self._params = key, cfg, params
 
     # ------------------------------------------------------------------
@@ -166,8 +161,7 @@ class VideoDepthEngine:
     # ------------------------------------------------------------------
     def _write_exr_sequence(self, depths: np.ndarray, out_dir: str,
                             shot_name: str, exr_first_frame: int,
-                            floating_point: str, metadata: Dict,
-                            output_format: str = "exr"):
+                            metadata: Dict, output_format: str = "exr"):
         """Depth sequence writer: EXR Z-channel with PNG fallback
         (reference engine.py:851-959), or explicit 16-bit PNG output
         (reference engine_old.py:169-280 output_format switch)."""
@@ -210,6 +204,10 @@ class VideoDepthEngine:
             last_frame = int(job_data.get("last_frame", first_frame))
             metric_depth = bool(job_data.get("metric_depth", False))
             floating_point = job_data.get("floating_point", "half")
+            # reference jobs say "float32"/"float16" (engine.py:383,766);
+            # "full"/"half" accepted as synonyms
+            fp32 = (floating_point in ("full", "float32")) \
+                if self.fp32 is None else self.fp32
             ckpt_key = ("metric_video_depth_anything_checkpoint"
                         if metric_depth
                         else "video_depth_anything_checkpoint")
@@ -220,7 +218,8 @@ class VideoDepthEngine:
 
             self._load_model(encoder, metric_depth, checkpoint,
                              random_init=bool(job_data.get("random_init",
-                                                           False)))
+                                                           False)),
+                             fp32=fp32)
 
             frames, numbers, fps = self._read_input(input_video, first_frame,
                                                     last_frame)
@@ -231,10 +230,8 @@ class VideoDepthEngine:
 
             from vda_tpu.infer import infer_video_depth
 
-            fp32 = (floating_point == "full") if self.fp32 is None \
-                else self.fp32
             input_size = int(job_data.get("input_size", 518))
-            micro_batch = 4
+            micro_batch = 16
             if bool(job_data.get("auto_strategy", False)):
                 from apps.engine.strategies import select_strategy
 
@@ -246,7 +243,8 @@ class VideoDepthEngine:
                 fp32 = fp32 or strat.fp32
             depths, _fps = infer_video_depth(
                 self._params, frames, fps, self._cfg,
-                input_size=input_size, fp32=fp32)
+                input_size=input_size, fp32=fp32,
+                micro_batch_size=micro_batch)
 
             if bool(job_data.get("enable_stabilization", False)):
                 from apps.engine.strategies import stabilize_depth_sequence
@@ -266,20 +264,27 @@ class VideoDepthEngine:
                 ])
 
             if bool(job_data.get("enable_normalization", False)):
-                depths = normalize_depth(
-                    depths,
-                    float(job_data.get("normalization_near", 0.0)),
-                    float(job_data.get("normalization_far", 1.0)),
-                    bool(job_data.get("invert_depth", False)))
+                # the reference normalizes EACH FRAME by its own min/max
+                # (engine.py:784-785 loops frames before normalize_depth)
+                near = float(job_data.get("normalization_near", 0.0))
+                far = float(job_data.get("normalization_far", 1.0))
+                invert = bool(job_data.get("invert_depth", False))
+                depths = np.stack([
+                    normalize_depth(d, near, far, invert) for d in depths
+                ])
 
             shot_name = derive_shot_name(input_video)
             metadata = meta_mod.build_metadata(
                 job_data, encoder, checkpoint,
                 frame_range=(numbers[0], numbers[-1]))
+            # honor the requested output range (the reference truncates via
+            # zip(range(exr_first, exr_last+1), depths))
+            if "exr_last_frame" in job_data:
+                max_out = int(job_data["exr_last_frame"]) - exr_first_frame + 1
+                depths = depths[:max(max_out, 0)]
             written = self._write_exr_sequence(
                 depths, exr_output_dir, shot_name, exr_first_frame,
-                floating_point, metadata,
-                output_format=job_data.get("output_format", "exr"))
+                metadata, output_format=job_data.get("output_format", "exr"))
             meta_mod.write_sidecar(exr_output_dir, metadata)
 
             from vda_tpu.utils.io import save_video
@@ -326,11 +331,26 @@ def run_queue(comm_dir: str):
     engine = VideoDepthEngine()
     put_status({"status": "running", "message": "engine ready"})
     logger.info("engine started; polling %s", job_file)
+    parse_failures = 0
     while True:
         try:
             if os.path.exists(job_file):
-                with open(job_file) as f:
-                    job_data = json.load(f)
+                try:
+                    with open(job_file) as f:
+                        job_data = json.load(f)
+                except json.JSONDecodeError:
+                    # likely caught a non-atomic writer mid-write: wait and
+                    # retry instead of destroying the half-written job
+                    parse_failures += 1
+                    if parse_failures >= 10:
+                        os.replace(job_file, job_file + ".invalid")
+                        put_status({"status": "error",
+                                    "message": "job_queue.json never became "
+                                    "valid JSON; moved to .invalid"})
+                        parse_failures = 0
+                    time.sleep(POLL_INTERVAL_S)
+                    continue
+                parse_failures = 0
                 put_status({"status": "processing",
                             "message": "processing video..."})
                 result = engine.process_job(job_data)

@@ -65,13 +65,21 @@ def read_frame(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
-def read_image_sequence(template: str, first_frame: int, last_frame: int
+def read_image_sequence(template: str, first_frame: int, last_frame: int,
+                        allow_gaps: bool = False
                         ) -> Tuple[np.ndarray, List[int]]:
-    """Read a templated image sequence -> ((N,H,W,3) uint8, frame numbers)."""
-    frames, numbers = [], []
+    """Read a templated image sequence -> ((N,H,W,3) uint8, frame numbers).
+
+    Mid-sequence gaps raise by default: silently skipping a missing plate
+    frame would misalign every later output's frame number with its source
+    (a classic VFX delivery bug).  Missing frames at the range EDGES are
+    tolerated (clients often over-specify the range).
+    """
+    frames, numbers, missing = [], [], []
     for n in range(first_frame, last_frame + 1):
         path = format_frame_path(template, n)
         if not os.path.exists(path):
+            missing.append(n)
             continue
         frames.append(read_frame(path))
         numbers.append(n)
@@ -79,4 +87,11 @@ def read_image_sequence(template: str, first_frame: int, last_frame: int
         raise FileNotFoundError(
             f"no frames found for template {template} "
             f"[{first_frame}..{last_frame}]")
+    if not allow_gaps:
+        interior = [n for n in missing if numbers[0] < n < numbers[-1]]
+        if interior:
+            raise FileNotFoundError(
+                f"image sequence {template} has missing frames "
+                f"{interior[:10]}{'...' if len(interior) > 10 else ''} — "
+                f"outputs would misalign; pass allow_gaps=True to override")
     return np.stack(frames, axis=0), numbers

@@ -55,32 +55,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def load_model(args):
-    import jax
+    from vda_tpu.utils.loader import load_model_params
 
-    from vda_tpu.config import checkpoint_name, get_config
-    from vda_tpu.models import init_video_depth_anything
-    from vda_tpu.utils.convert import load_params_npz, load_torch_checkpoint
-
-    cfg = get_config(args.encoder, metric=getattr(args, "metric", False))
-    if args.random_init:
-        params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
-        return cfg, params
-    ckpt = args.checkpoint or os.path.join(
-        "./checkpoints", checkpoint_name(args.encoder, args.metric) + ".pth")
-    if not os.path.exists(ckpt):
-        raise FileNotFoundError(
-            f"checkpoint not found: {ckpt} — pass --checkpoint or "
-            f"--random-init (testing only)")
-    if ckpt.endswith(".npz"):
-        template = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
-        params = load_params_npz(ckpt, template)
-    else:
-        params = load_torch_checkpoint(ckpt, cfg)
-    if not getattr(args, "fp32", False):
-        from vda_tpu.utils.convert import cast_params_for_inference
-
-        params = cast_params_for_inference(params)
-    return cfg, params
+    return load_model_params(
+        args.encoder,
+        metric=getattr(args, "metric", False),
+        checkpoint=args.checkpoint,
+        random_init=args.random_init,
+        cast_bf16=not getattr(args, "fp32", False))
 
 
 def main(argv=None):

@@ -36,9 +36,12 @@ except ImportError:
     )
 
 TAE_CONFIGS = {
-    # reference eval_tae.py:238-249
-    "scannet": dict(json_name="scannet/scannet_video.json", max_depth=10.0,
-                    crop=(8, -8, 11, -11)),
+    # reference eval_tae.py:238-249 points at scannet_video.json, but only
+    # the TAE manifest (gen_json_scannet_tae: color_origin frames, stride 1,
+    # K + pose per entry) actually carries the fields this protocol needs —
+    # we use it directly.
+    "scannet": dict(json_name="scannet/scannet_video_tae.json",
+                    max_depth=10.0, crop=(8, -8, 11, -11)),
     "sintel": dict(json_name="sintel/sintel_video.json", max_depth=70.0,
                    crop=(0, 436, 0, 1024)),
 }

@@ -24,7 +24,7 @@ def tiny_engine(tiny_cfg, monkeypatch):
     params = init_video_depth_anything(jax.random.PRNGKey(2), tiny_cfg)
     e = eng.VideoDepthEngine()
 
-    def fake_load(self, encoder, metric, checkpoint, random_init=False):
+    def fake_load(self, encoder, metric, checkpoint, random_init=False, fp32=False):
         self._cfg = tiny_cfg
         self._params = params
         self._model_key = (encoder, metric, checkpoint, random_init)

@@ -180,7 +180,7 @@ from vda_tpu.models import init_video_depth_anything
 vit = EncoderConfig(embed_dim=64, depth=2, num_heads=2, img_size=56)
 cfg = ModelConfig("tiny", 32, (32, 32, 32, 32), (0, 0, 1, 1), vit)
 params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
-def fake_load(self, encoder, metric, checkpoint, random_init=False):
+def fake_load(self, encoder, metric, checkpoint, random_init=False, fp32=False):
     self._cfg, self._params = cfg, params
     self._model_key = (encoder, metric)
 eng.VideoDepthEngine._load_model = fake_load

@@ -71,14 +71,15 @@ def window_source_indices(n_frames: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "net_hw", "out_hw", "dtype", "attn_impl"),
+    static_argnames=("cfg", "net_hw", "out_hw", "dtype", "attn_impl",
+                     "micro_batch_size"),
 )
 def _window_batch_step(params, frames_u8, cfg: ModelConfig, net_hw, out_hw,
-                       dtype, attn_impl: str):
+                       dtype, attn_impl: str, micro_batch_size: int):
     """(W, T, H, W0, 3) uint8 windows -> (W, T, outH, outW) fp32 depths."""
     x = preprocess_frames(frames_u8, net_hw, dtype=dtype)
     depth = forward(params, x, cfg, attn_impl=attn_impl,
-                    micro_batch_size=16)  # 16-frame decoder chunks fit v5e HBM
+                    micro_batch_size=micro_batch_size)
     # final resize in fp32 (strictly better than the reference, which
     # interpolates in fp16, video_depth.py:111-112), then a float16 transfer:
     # halves device->host traffic while keeping fp16's 10-bit mantissa
@@ -98,6 +99,7 @@ def infer_video_depth(
     attn_impl: str = "auto",
     window_batch: int = 1,
     mesh=None,
+    micro_batch_size: int = 16,  # decoder-tail frames per lax.scan chunk
     progress: Optional[callable] = None,
 ):
     """frames: (N, H, W, 3) uint8 RGB.  Returns (depths (N, H, W) fp32, fps).
@@ -140,7 +142,8 @@ def infer_video_depth(
         if data_sharding is not None:
             window_u8 = jax.device_put(window_u8, data_sharding)
         d = _window_batch_step(params, window_u8, cfg, net_hw,
-                               (frame_h, frame_w), dtype, attn_impl)
+                               (frame_h, frame_w), dtype, attn_impl,
+                               micro_batch_size)
         # fetch each batch to the host immediately — keeping all window
         # depths resident would grow HBM linearly with video length
         depth_batches.append(
