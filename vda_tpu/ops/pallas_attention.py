@@ -63,14 +63,21 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], nb),
                                        dimension=1)
         mask = col < valid_len
-    for h in range(heads):
-        qh = q[:, h * d:(h + 1) * d]
-        kh = k[:, h * d:(h + 1) * d]
-        vh = v[:, h * d:(h + 1) * d]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
+
+    def qk(h):
+        return jax.lax.dot_general(
+            q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+
+    # software-pipelined: head h+1's MXU logits are issued before head h's
+    # VPU softmax, so the units overlap across the unrolled loop
+    s_next = qk(0)
+    for h in range(heads):
+        s = s_next
+        if h + 1 < heads:
+            s_next = qk(h + 1)
         if mask is not None:
             s = jnp.where(mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -79,6 +86,7 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
         # normalization is deferred to the (BQ, D) output — ~20x less VPU
         # work than dividing the (BQ, NB) probability tile
+        vh = v[:, h * d:(h + 1) * d]
         o = jax.lax.dot_general(
             e.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
