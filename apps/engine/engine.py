@@ -325,8 +325,11 @@ def run_queue(comm_dir: str):
     status_file = os.path.join(comm_dir, "status.json")
 
     def put_status(status: Dict):
-        with open(status_file, "w") as f:
+        # atomic write: a polling client must never read half-written JSON
+        tmp = status_file + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(status, f)
+        os.replace(tmp, status_file)
 
     engine = VideoDepthEngine()
     put_status({"status": "running", "message": "engine ready"})
@@ -361,9 +364,17 @@ def run_queue(comm_dir: str):
             put_status({"status": "stopped", "message": "engine stopped"})
             break
         except Exception as e:  # noqa: BLE001
-            put_status({"status": "error", "message": str(e)})
-            if os.path.exists(job_file):
-                os.remove(job_file)
+            # keep the job (as a .failed sidecar) instead of destroying it on
+            # an unexpected error, and record the traceback for debugging
+            import traceback
+
+            put_status({"status": "error", "message": str(e),
+                        "traceback": traceback.format_exc()})
+            try:
+                if os.path.exists(job_file):
+                    os.replace(job_file, job_file + ".failed")
+            except OSError:
+                pass
             time.sleep(POLL_INTERVAL_S)
 
 

@@ -68,6 +68,9 @@ def load_model(args):
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
 
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # vitl compiles are minutes; cache across runs
+
     from vda_tpu.infer import infer_video_depth
     from vda_tpu.utils.io import (
         read_video_frames,

@@ -39,6 +39,9 @@ def main(argv=None):
 
     import cv2
 
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # vitl compiles are minutes; cache across runs
+
     from apps.run import load_model
     from vda_tpu.infer import StreamingDepth
     from vda_tpu.utils.io import ensure_even, save_video
@@ -60,19 +63,30 @@ def main(argv=None):
         s = args.max_res / max(oh, ow)
         height, width = ensure_even(round(oh * s)), ensure_even(round(ow * s))
 
+    # Pipelined loop: submit frame n+1 (async dispatch) BEFORE fetching frame
+    # n's depth, overlapping host decode + device->host transfer with device
+    # compute; one frame in flight at a time bounds memory.
     depths = []
+    pending = None
     count = 0
+    n_submitted = 0
     t0 = time.time()
     while True:
         ret, frame = cap.read()
-        if not ret or (args.max_len > 0 and len(depths) >= args.max_len):
+        if not ret or (args.max_len > 0 and n_submitted >= args.max_len):
             break
         if count % stride == 0:
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             if scale_needed:
                 frame = cv2.resize(frame, (width, height))
-            depths.append(stream(frame))
+            handle = stream.submit(frame)
+            n_submitted += 1
+            if pending is not None:
+                depths.append(np.asarray(pending))
+            pending = handle
         count += 1
+    if pending is not None:
+        depths.append(np.asarray(pending))
     cap.release()
     wall = time.time() - t0
     print(f"{len(depths)} frames in {wall:.2f}s "

@@ -23,6 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from vda_tpu.config import get_config
     from vda_tpu.models import init_video_depth_anything
     from vda_tpu.models.vda import forward
@@ -79,7 +82,45 @@ def main():
         "dtype": "bfloat16",
         "attn_impl": attn_impl,
     }
+
+    # Streaming (causal, frame-by-frame) measurement — same chip, pipelined
+    # submit/fetch, steady state past the eviction threshold.  Gated (default
+    # ON) so the driver's BENCH record always carries the streaming number.
+    if os.environ.get("VDA_BENCH_STREAM", "1") == "1":
+        try:
+            result.update(_bench_streaming(params, cfg, size, attn_impl))
+        except Exception as e:  # noqa: BLE001 — streaming must never sink the headline
+            result["stream_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(result))
+
+
+def _bench_streaming(params, cfg, size: int, attn_impl: str,
+                     n_warm: int = 14, n_meas: int = 32):
+    """Steady-state streaming ms/frame (pipelined: fetch trails dispatch)."""
+    import time as _time
+
+    import numpy as np
+
+    from vda_tpu.infer import StreamingDepth
+
+    stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl)
+    frame = np.full((size, size, 3), 128, np.uint8)
+    # warmup: compiles _first_step + _stream_step and crosses the eviction
+    # threshold (id > 11) so measured steps use steady-state bookkeeping
+    for _ in range(n_warm):
+        d = stream.submit(frame)
+    np.asarray(d)
+    t0 = _time.perf_counter()
+    handles = [stream.submit(frame) for _ in range(n_meas)]
+    for h in handles:
+        np.asarray(h)
+    wall = _time.perf_counter() - t0
+    ms = wall * 1000.0 / n_meas
+    return {
+        "stream_ms_per_frame": round(ms, 3),
+        "stream_fps": round(1000.0 / ms, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -116,7 +116,19 @@ class StreamingDepth:
         self.free: List[int] = []
 
     def __call__(self, frame: np.ndarray) -> np.ndarray:
-        """frame: (H, W, 3) uint8 RGB -> depth (H, W) fp32."""
+        """frame: (H, W, 3) uint8 RGB -> depth (H, W) fp32 (synchronous)."""
+        return np.asarray(self.submit(frame))
+
+    def submit(self, frame: np.ndarray) -> jax.Array:
+        """Asynchronous step: enqueue one frame, return the depth as a DEVICE
+        array (fp32, (H, W)) without blocking.
+
+        JAX dispatch is async, so callers can overlap the device compute of
+        frame n+1 with fetching frame n's depth (``np.asarray(handle)``) —
+        under the tunneled chip this hides the ~10 ms dispatch + transfer
+        round-trip per frame.  The cache buffers are donated and never leave
+        the device either way.
+        """
         self.id += 1
         if self.net_hw is None:
             h, w = frame.shape[:2]
@@ -136,7 +148,7 @@ class StreamingDepth:
             self.order = [0] * INFER_LEN
             self.free = list(range(1, _BUF_ROWS))
             self._slide()
-            return np.asarray(depth)
+            return depth
 
         assert frame.shape[:2] == self.out_hw, "frame size changed mid-stream"
         ctx = self.order[0:2] + self.order[-(INFER_LEN - 3):]
@@ -149,7 +161,7 @@ class StreamingDepth:
         self.free.pop(0)
         self.order.append(write_pos)
         self._slide()
-        return np.asarray(depth)
+        return depth
 
     def _slide(self):
         """Eviction rule (reference video_depth_stream.py:155-160)."""

@@ -80,9 +80,12 @@ def _window_batch_step(params, frames_u8, cfg: ModelConfig, net_hw, out_hw,
     x = preprocess_frames(frames_u8, net_hw, dtype=dtype)
     depth = forward(params, x, cfg, attn_impl=attn_impl,
                     micro_batch_size=micro_batch_size)
-    # final resize in fp32 (strictly better than the reference, which
-    # interpolates in fp16, video_depth.py:111-112), then a float16 transfer:
-    # halves device->host traffic while keeping fp16's 10-bit mantissa
+    # final resize in fp32, matching the reference (it casts depth to the
+    # fp32 input dtype before F.interpolate, video_depth.py:111-112), then a
+    # float16 transfer: halves device->host traffic while keeping fp16's
+    # 10-bit mantissa.  The fp16 quantization before host-side stitching is a
+    # ~1e-3 relative deviation from the reference's fp32 transfer, covered by
+    # the end-to-end bf16-pipeline accuracy test (test_windowed.py).
     d = depth[..., None].astype(jnp.float32)
     d = resize_bilinear(d, out_hw, align_corners=True)
     d = d[..., 0]
@@ -132,11 +135,21 @@ def infer_video_depth(
         dp = mesh.shape[DATA_AXIS]
         wb = -(-wb // dp) * dp  # window batch must fill the data axis
 
+    # Double-buffered dispatch: batch n+1 is enqueued BEFORE batch n's
+    # device->host fetch, so transfer overlaps compute (JAX dispatch is
+    # async; only np.asarray blocks).  At most two batches are in flight,
+    # bounding HBM regardless of video length.
     depth_batches = []
+    pending = None  # (device depths, n_valid windows)
+
+    def _fetch(dev, n_valid):
+        depth_batches.append(np.asarray(dev[:n_valid]).astype(np.float32))
+
     for start in range(0, n_windows, wb):
         batch_idx = idx[start:start + wb]
-        if batch_idx.shape[0] < wb:  # pad batch to keep the jit shape static
-            pad = wb - batch_idx.shape[0]
+        n_valid = batch_idx.shape[0]
+        if n_valid < wb:  # pad batch to keep the jit shape static
+            pad = wb - n_valid
             batch_idx = np.concatenate([batch_idx, batch_idx[-1:].repeat(pad, 0)])
         window_u8 = jnp.asarray(frames[batch_idx])  # (wb, 32, H, W, 3)
         if data_sharding is not None:
@@ -144,12 +157,13 @@ def infer_video_depth(
         d = _window_batch_step(params, window_u8, cfg, net_hw,
                                (frame_h, frame_w), dtype, attn_impl,
                                micro_batch_size)
-        # fetch each batch to the host immediately — keeping all window
-        # depths resident would grow HBM linearly with video length
-        depth_batches.append(
-            np.asarray(d[:idx[start:start + wb].shape[0]]).astype(np.float32))
+        if pending is not None:
+            _fetch(*pending)
+        pending = (d, n_valid)
         if progress is not None:
             progress(min(start + wb, n_windows), n_windows)
+    if pending is not None:
+        _fetch(*pending)
 
     host_depths = []
     for arr in depth_batches:

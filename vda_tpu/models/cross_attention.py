@@ -59,7 +59,9 @@ def cross_attention(p, hidden_states, heads: int,
     """Reference CrossAttention.forward (attention.py:125-180).
 
     hidden_states: (B, N, C).  encoder_hidden_states: optional (B, M, C').
-    attention_mask: optional additive mask broadcastable to (B, heads, N, M).
+    attention_mask: must already be an ADDITIVE mask broadcastable to
+    (B, heads, N, M) — callers own the reference's pad/repeat_interleave
+    preprocessing (attention.py:157-162).
     """
     b, n, _ = hidden_states.shape
     h = hidden_states
@@ -79,9 +81,16 @@ def cross_attention(p, hidden_states, heads: int,
     inner = q.shape[-1]
     dh = inner // heads
 
-    if "add_k_proj" in p and encoder_hidden_states is not None:
+    if "add_k_proj" in p:
         # added-kv path (reference attention.py:137-149): self keys/values
-        # concatenated after the encoder projections
+        # concatenated after the encoder projections.  The reference uses the
+        # added projections unconditionally and fails loudly without a
+        # context — mirror that instead of silently degrading to self-attn.
+        if encoder_hidden_states is None:
+            raise ValueError(
+                "add_k_proj/add_v_proj params present but "
+                "encoder_hidden_states is None (added-kv attention requires "
+                "a context, reference attention.py:137-149)")
         k = jnp.concatenate([linear(p["add_k_proj"], encoder_hidden_states),
                              linear(p["to_k"], h)], axis=1)
         v = jnp.concatenate([linear(p["add_v_proj"], encoder_hidden_states),

@@ -11,9 +11,13 @@ TPU-native layouts):
     island (see models/dpt.py output head)
 
 Parity notes: LayerNorm eps matches reference dinov2.py:95 (1e-6) /
-motion_module.py (1e-5 default torch LayerNorm); GELU is the exact (erf) form,
-matching torch nn.GELU default used at reference dinov2_layers/mlp.py:24 and
-F.gelu at motion_module/attention.py:352.
+motion_module.py (1e-5 default torch LayerNorm).  GELU is the exact (erf)
+form in fp32 — matching torch nn.GELU default at reference
+dinov2_layers/mlp.py:24 and F.gelu at motion_module/attention.py:352 — but
+deliberately switches to the tanh approximation for bfloat16 inputs (the
+production inference dtype): the ~1e-3 relative difference is below bf16
+quantization noise while the tanh form is much cheaper on the VPU (see
+``gelu``).
 """
 
 from __future__ import annotations

@@ -95,23 +95,38 @@ def save_video(frames: np.ndarray, output_path: str, fps: float = 10,
                is_depths: bool = False, grayscale: bool = False) -> None:
     """MP4 writer (reference utils/dc_utils.py:72-86): H.264 CRF-18 via
     imageio/ffmpeg when available, else cv2 mp4v."""
-    vis = _visualize(frames, is_depths, grayscale)
+    # Writer creation is the only step inside the fallback guard: if imageio
+    # fails mid-append we would have partially consumed the frame iterator, so
+    # on any append failure the partial file is removed and the cv2 fallback
+    # restarts from a FRESH iterator (never a silently truncated video).
+    writer = None
     try:
         import imageio
 
         writer = imageio.get_writer(
             output_path, fps=fps, macro_block_size=1, codec="libx264",
             ffmpeg_params=["-crf", "18"])
+    except Exception:
+        writer = None
+    if writer is not None:
         try:
-            for frame in vis:
+            for frame in _visualize(frames, is_depths, grayscale):
                 writer.append_data(frame)
-        finally:
             writer.close()
-        return
-    except (ImportError, ValueError):
-        pass
+            return
+        except Exception:
+            try:
+                writer.close()
+            except Exception:
+                pass
+            try:
+                if os.path.exists(output_path):
+                    os.remove(output_path)
+            except OSError:
+                pass
     import cv2
 
+    vis = _visualize(frames, is_depths, grayscale)
     first = next(iter(vis))
     h, w = first.shape[:2]
     writer = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"),
