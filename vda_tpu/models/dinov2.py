@@ -132,7 +132,8 @@ def _interp_pos_embed(pos_embed, grid_hw, cfg: EncoderConfig):
     return jnp.concatenate([cls_pos, patch_pos.astype(pos_embed.dtype)], axis=1)
 
 
-def _attention(p, x, num_heads: int, attn_impl: str):
+def _attention(p, x, num_heads: int, attn_impl: str,
+               valid_len: int | None = None):
     b, n, d = x.shape
     dh = d // num_heads
     qkv = linear(p["qkv"], x)
@@ -143,7 +144,8 @@ def _attention(p, x, num_heads: int, attn_impl: str):
 
         # zero-copy path: the kernel reads q/k/v as lane-offset views of the
         # fused projection output
-        o = flash_attention_qkv(qkv, num_heads, scale=dh ** -0.5)
+        o = flash_attention_qkv(qkv, num_heads, scale=dh ** -0.5,
+                                valid_len=valid_len)
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
         o = packed_self_attention(q, k, v, num_heads, scale=dh ** -0.5,
@@ -159,10 +161,17 @@ def _mlp(p, x, ffn_layer: str):
     return linear(p["fc2"], gelu(linear(p["fc1"], x)))
 
 
-def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto"):
+def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto",
+                valid_len: int | None = None):
     """Pre-norm block: x + ls1*attn(n1(x)); x + ls2*mlp(n2(x))
-    (reference dinov2_layers/block.py:82-107, inference path)."""
-    h = _attention(p["attn"], layer_norm(p["norm1"], x), cfg.num_heads, attn_impl)
+    (reference dinov2_layers/block.py:82-107, inference path).
+
+    valid_len: set when x is lane-padded along N (padded-encoder fast path);
+    only attention needs it — LN/MLP/residuals are row-independent so pad
+    rows stay inert garbage.
+    """
+    h = _attention(p["attn"], layer_norm(p["norm1"], x), cfg.num_heads,
+                   attn_impl, valid_len)
     x = x + h * p["ls1"].astype(h.dtype)
     h = _mlp(p["mlp"], layer_norm(p["norm2"], x), cfg.ffn_layer)
     x = x + h * p["ls2"].astype(h.dtype)
@@ -197,37 +206,51 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     layer (vitl: 4 instead of 24), cutting compile time several-fold with no
     measurable runtime cost.  remat=True rematerializes each block on the
     backward pass (training memory <-> flops trade).
+
+    On the TPU pallas path the token sequence is lane-padded (1370 -> 1408)
+    ONCE here and every block runs tile-aligned with key masking inside the
+    attention kernel — instead of each layer emitting a ~270 MB pad copy of
+    its qkv tensor (~0.7 ms x 24 at the vitl window shape).
     """
     taps = set(tap_idx)
     h = prepare_tokens(params, x, cfg)
+    n = h.shape[1]
+    valid_len = None
+    use_pallas_attn = attn_impl == "pallas" or (
+        attn_impl == "auto" and _use_pallas(n, cfg.head_dim))
+    if use_pallas_attn and n % 128:
+        pad = (-n) % 128
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        valid_len = n
     out = {}
     apply_fn = block_apply
     if remat:
         apply_fn = jax.checkpoint(
-            functools.partial(block_apply), static_argnums=(2, 3))
+            functools.partial(block_apply), static_argnums=(2, 3, 4))
     if scan_blocks:
         boundaries = sorted(taps | {cfg.depth - 1})
         start = 0
         for end in boundaries:
             seg = params["blocks"][start:end + 1]
             if len(seg) == 1:
-                h = apply_fn(seg[0], h, cfg, attn_impl)
+                h = apply_fn(seg[0], h, cfg, attn_impl, valid_len)
             else:
                 stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *seg)
 
                 def body(carry, bp):
-                    return apply_fn(bp, carry, cfg, attn_impl), None
+                    return apply_fn(bp, carry, cfg, attn_impl, valid_len), None
 
                 h, _ = jax.lax.scan(body, h, stacked)
             out[end] = h
             start = end + 1
     else:
         for i, bp in enumerate(params["blocks"]):
-            h = apply_fn(bp, h, cfg, attn_impl)
+            h = apply_fn(bp, h, cfg, attn_impl, valid_len)
             if i in taps:
                 out[i] = h
     result = []
     for i in tap_idx:
-        t = layer_norm(params["norm"], out[i])
+        t = out[i][:, :n] if valid_len is not None else out[i]
+        t = layer_norm(params["norm"], t)
         result.append((t[:, 1 + cfg.num_register_tokens:], t[:, 0]))
     return result

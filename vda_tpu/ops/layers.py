@@ -48,7 +48,17 @@ def linear(p, x, precision=None):
 
 
 def layer_norm(p, x, eps: float = 1e-6):
-    """LayerNorm over the last axis; statistics in fp32."""
+    """LayerNorm over the last axis; statistics in fp32.
+
+    On TPU, lane-aligned shapes dispatch to the single-HBM-pass Pallas kernel
+    (ops/pallas_norm.py) — numerics are identical (fp32 stats, same formula);
+    XLA materializes fp32 intermediates and runs ~10x off the bandwidth floor.
+    """
+    from vda_tpu.ops.attention import _on_tpu
+    if _on_tpu() and x.ndim >= 2 and x.shape[-1] % 128 == 0 \
+            and x.shape[-1] <= 8192:
+        from vda_tpu.ops.pallas_norm import fused_layer_norm
+        return fused_layer_norm(x, p["scale"], p["bias"], eps)
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

@@ -161,25 +161,35 @@ def flash_attention_packed(q, k, v, heads: int, scale: float,
 
 
 def flash_attention_qkv(qkv, heads: int, scale: float,
-                        block_q: int | None = None):
+                        block_q: int | None = None,
+                        valid_len: int | None = None):
     """Fused attention DIRECTLY on the fused-qkv projection output.
 
     qkv: (B, N, 3*H*D) laid out [q | k | v] (the torch fused-qkv convention,
     reference dinov2_layers/attention.py:44,51).  The q/k/v views are three
     BlockSpecs into the SAME array at different lane offsets, so between the
     qkv matmul and the attention kernel zero copies touch HBM.
+
+    valid_len: when the caller already runs padded (N % 128 == 0 with only
+    the first valid_len tokens real — see models/dinov2.py padded-encoder
+    path), keys/queries beyond it are masked here and no pad op is emitted.
+    Padding qkv per layer costs ~0.7 ms at the vitl window shape; padding
+    once outside pays it once for 24 layers.
     """
     b, n, hd3 = qkv.shape
     hd = hd3 // 3
     d = hd // heads
+    if valid_len is None:
+        valid_len = n
     np_len = -(-n // 128) * 128
-    # Tuning (v5e, ViT shape 32x1408x16x64): 4 heads per group with two
-    # 704-row q blocks hits 62 TF/s vs 53 for 8-head groups with 176-row
-    # blocks — narrower K/V blocks leave VMEM for big score tiles.
+    # Tuning (v5e, ViT shape 32x1408x16x64, round 2): 4 q-blocks of 352 rows
+    # overlap the per-head softmax with the next block's matmuls — 75.7 TF/s
+    # vs 68.7 for 2x704 blocks and 63.1 for 8x176 (slope-measured on chip;
+    # matmul-only runs 87 TF/s, the dh=64 half-MXU ceiling territory).
     if block_q is None:
         block_q = np_len
         if np_len > 768:
-            for div in (2, 4, 8, 16):
+            for div in (4, 2, 8, 16):
                 if np_len % div == 0 and (np_len // div) % 16 == 0 \
                         and (np_len // div) * np_len * 4 <= 4_200_000:
                     block_q = np_len // div
@@ -203,8 +213,8 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
         qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
     n_q = np_len // block_q
 
-    kernel = functools.partial(_attn_kernel_packed, scale=scale, valid_len=n,
-                               heads=g_heads)
+    kernel = functools.partial(_attn_kernel_packed, scale=scale,
+                               valid_len=valid_len, heads=g_heads)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_groups, n_q),
@@ -222,9 +232,9 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, np_len, hd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * n * n * hd,
+            flops=4 * b * valid_len * valid_len * hd,
             bytes_accessed=(3 + 1) * b * n * hd * qkv.dtype.itemsize,
-            transcendentals=b * n * n * heads,
+            transcendentals=b * valid_len * valid_len * heads,
         ),
         interpret=_interpret(),
     )(qkv, qkv, qkv)
