@@ -125,6 +125,88 @@ class VideoDepthEngine:
         self._cfg = None
         self._params = None
         self.fp32 = fp32
+        # injectable for tests (OOM-injection); None = vda_tpu.infer default
+        self._infer_fn = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _is_oom(e: Exception) -> bool:
+        text = f"{type(e).__name__}: {e}"
+        return any(m in text for m in (
+            "RESOURCE_EXHAUSTED", "RESOURCE EXHAUSTED", "out of memory",
+            "OutOfMemory", "Ran out of memory"))
+
+    def _infer_with_degradation(self, frames, fps, input_size: int,
+                                fp32: bool, micro_batch: int):
+        """Accelerator-OOM degradation ladder (reference
+        engine_backup.py:1010-1352): retry the job at the next-smaller
+        strategy tier, then window-chunked at the smallest size, then on the
+        host CPU.  Returns (depths, fps, degraded_steps)."""
+        import jax
+
+        from vda_tpu.config import INFER_LEN
+
+        infer = self._infer_fn
+        if infer is None:
+            from vda_tpu.infer import infer_video_depth as infer
+
+        ladder = [
+            dict(name="requested", input_size=input_size,
+                 micro_batch=micro_batch, fp32=fp32, chunked=False,
+                 cpu=False),
+            dict(name="conservative_384", input_size=min(input_size, 384),
+                 micro_batch=4, fp32=fp32, chunked=False, cpu=False),
+            dict(name="chunked_224", input_size=224, micro_batch=2,
+                 fp32=fp32, chunked=True, cpu=False),
+            dict(name="cpu_fallback", input_size=224, micro_batch=2,
+                 fp32=True, chunked=True, cpu=True),
+        ]
+        # drop no-op repeats (e.g. requested already <= 384)
+        seen = set()
+        steps = []
+        for s in ladder:
+            key = (s["input_size"], s["micro_batch"], s["chunked"], s["cpu"])
+            if key not in seen:
+                seen.add(key)
+                steps.append(s)
+
+        degraded = []
+        last_err = None
+        for i, s in enumerate(steps):
+            def run(s=s):
+                def call(fr):
+                    return infer(self._params, fr, fps, self._cfg,
+                                 input_size=s["input_size"], fp32=s["fp32"],
+                                 micro_batch_size=s["micro_batch"])
+                if s["chunked"]:
+                    # one window at a time bounds live HBM to a single
+                    # 32-frame window (reference's frame-by-frame analog;
+                    # whole windows keep the temporal attention context)
+                    parts = [call(frames[j:j + INFER_LEN])[0]
+                             for j in range(0, len(frames), INFER_LEN)]
+                    return np.concatenate(parts, axis=0), fps
+                return call(frames)
+
+            try:
+                if s["cpu"]:
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        depths, out_fps = run()
+                else:
+                    depths, out_fps = run()
+                if degraded:
+                    logger.warning("job completed DEGRADED via %s "
+                                   "(after: %s)", s["name"],
+                                   " -> ".join(degraded))
+                return depths, out_fps, degraded
+            except Exception as e:  # noqa: BLE001 — ladder filters below
+                if not self._is_oom(e) or i == len(steps) - 1:
+                    raise
+                last_err = e
+                degraded.append(s["name"])
+                logger.warning("tier %s hit accelerator OOM (%s); "
+                               "degrading to %s", s["name"],
+                               type(e).__name__, steps[i + 1]["name"])
+        raise last_err  # unreachable; satisfies linters
 
     # ------------------------------------------------------------------
     def _load_model(self, encoder: str, metric: bool, checkpoint: str,
@@ -228,8 +310,6 @@ class VideoDepthEngine:
             logger.info("read %d frames %s (resized=%s)", len(frames),
                         new_size, was_resized)
 
-            from vda_tpu.infer import infer_video_depth
-
             input_size = int(job_data.get("input_size", 518))
             micro_batch = 16
             if bool(job_data.get("auto_strategy", False)):
@@ -241,10 +321,9 @@ class VideoDepthEngine:
                 input_size = min(input_size, strat.input_size)
                 micro_batch = strat.micro_batch_size
                 fp32 = fp32 or strat.fp32
-            depths, _fps = infer_video_depth(
-                self._params, frames, fps, self._cfg,
-                input_size=input_size, fp32=fp32,
-                micro_batch_size=micro_batch)
+            depths, _fps, degraded_steps = self._infer_with_degradation(
+                frames, fps, input_size=input_size, fp32=fp32,
+                micro_batch=micro_batch)
 
             if bool(job_data.get("enable_stabilization", False)):
                 from apps.engine.strategies import stabilize_depth_sequence
@@ -277,6 +356,10 @@ class VideoDepthEngine:
             metadata = meta_mod.build_metadata(
                 job_data, encoder, checkpoint,
                 frame_range=(numbers[0], numbers[-1]))
+            if degraded_steps:
+                # provenance of the OOM downgrade (reference records its
+                # fallback chain in the engine log; we persist it)
+                metadata["processing_degradation"] = degraded_steps
             # honor the requested output range (the reference truncates via
             # zip(range(exr_first, exr_last+1), depths))
             if "exr_last_frame" in job_data:
@@ -302,13 +385,18 @@ class VideoDepthEngine:
                 save_video(depths, vis_path, fps=fps, is_depths=True)
                 meta_mod.embed_mp4_metadata(vis_path, metadata)
 
-            return {
+            result = {
                 "status": "success",
                 "message": f"wrote {len(written)} depth frames",
                 "output_dir": exr_output_dir,
                 "frames": len(written),
                 "encoder": encoder,
             }
+            if degraded_steps:
+                result["degraded"] = degraded_steps
+                result["message"] += (
+                    f" (degraded after OOM: {' -> '.join(degraded_steps)})")
+            return result
         except Exception as e:  # noqa: BLE001 — engine must never crash the queue
             logger.error("job failed: %s", e)
             return {

@@ -147,6 +147,68 @@ class TestProcessJob:
         assert meta["encoder"] == "tiny"
         assert meta["invert_depth"] is True
 
+    def test_oom_degradation_ladder(self, tiny_engine, tmp_path):
+        """Mid-job accelerator OOM walks the ladder: requested ->
+        conservative_384 -> chunked_224 and completes degraded
+        (reference engine_backup.py:1010-1352 fallback chain)."""
+        from vda_tpu.infer import infer_video_depth
+
+        calls = []
+
+        def oom_infer(params, frames, fps, cfg, input_size=518, fp32=False,
+                      micro_batch_size=4):
+            calls.append((input_size, len(frames)))
+            if input_size > 224:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Ran out of memory in memory space "
+                    "hbm while allocating")
+            return infer_video_depth(params, frames, fps, cfg,
+                                     input_size=56, fp32=fp32,
+                                     micro_batch_size=micro_batch_size)
+
+        tiny_engine._infer_fn = oom_infer
+        template = _write_sequence(tmp_path, n=4)
+        out_dir = tmp_path / "exr_out"
+        job = {
+            "input_video": template,
+            "exr_output_dir": str(out_dir),
+            "first_frame": 1,
+            "last_frame": 4,
+            "encoder": "tiny",
+            "video_depth_anything_checkpoint": "none.pth",
+            "input_size": 518,
+        }
+        result = tiny_engine.process_job(job)
+        assert result["status"] == "success", result
+        assert result["degraded"] == ["requested", "conservative_384"]
+        # requested 518 OOM'd, 384 OOM'd, chunked 224 succeeded
+        assert [c[0] for c in calls] == [518, 384, 224]
+        meta = json.load(open(out_dir / "metadata.json"))
+        assert meta["processing_degradation"] == [
+            "requested", "conservative_384"]
+
+    def test_non_oom_errors_not_retried(self, tiny_engine, tmp_path):
+        """A non-OOM failure must surface immediately, not walk the ladder."""
+        calls = []
+
+        def broken_infer(params, frames, fps, cfg, **kw):
+            calls.append(kw.get("input_size"))
+            raise ValueError("bad frames")
+
+        tiny_engine._infer_fn = broken_infer
+        template = _write_sequence(tmp_path, n=2)
+        result = tiny_engine.process_job({
+            "input_video": template,
+            "exr_output_dir": str(tmp_path / "o"),
+            "first_frame": 1,
+            "last_frame": 2,
+            "encoder": "tiny",
+            "video_depth_anything_checkpoint": "none.pth",
+        })
+        assert result["status"] == "error"
+        assert "bad frames" in result["message"]
+        assert len(calls) == 1
+
     def test_error_reported_not_raised(self, tiny_engine, tmp_path):
         result = tiny_engine.process_job({
             "input_video": "/nonexistent/foo.%04d.jpg",

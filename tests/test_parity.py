@@ -110,6 +110,33 @@ class TestEncoderParity:
                                    rtol=1e-3, atol=1e-4)
 
 
+class TestNestedBlockParity:
+    def test_variable_sequence_batches(self, ref_model, jax_params):
+        """NestedTensorBlock equivalent (reference dinov2_layers/block.py:
+        204-252).  With xFormers absent the reference's list path asserts,
+        but its math is exactly per-sample plain-block attention
+        (BlockDiagonalMask = block-diagonal over samples); compare our packed
+        segment path against the reference block run per sample."""
+        import torch
+        import jax.numpy as jnp
+        from vda_tpu.models.dinov2 import block_apply_nested
+
+        rng = np.random.default_rng(5)
+        shapes = [(2, 17, 64), (1, 33, 64), (3, 9, 64)]
+        xs = [rng.standard_normal(s).astype(np.float32) * 0.5 for s in shapes]
+        blk = ref_model.pretrained.blocks[0]
+        with torch.no_grad():
+            ref_out = [blk(torch.from_numpy(x)) for x in xs]
+        x_list = [jnp.asarray(x) for x in xs]
+        bp = jax_params["pretrained"]["blocks"][0]
+        for impl in ("xla", "pallas"):
+            ours = block_apply_nested(bp, x_list, TINY_VIT, attn_impl=impl)
+            for o, r in zip(ours, ref_out):
+                np.testing.assert_allclose(np.asarray(o), _to_np(r),
+                                           rtol=1e-3, atol=1e-4,
+                                           err_msg=f"impl={impl}")
+
+
 class TestHeadParity:
     @pytest.fixture(scope="class")
     def features(self):

@@ -178,6 +178,42 @@ def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto",
     return x
 
 
+def block_apply_nested(p, x_list, cfg: EncoderConfig, attn_impl: str = "auto"):
+    """Variable-sequence batched block — reference NestedTensorBlock
+    (dinov2_layers/block.py:204-252).
+
+    x_list: list of (B_i, N_i, D) token batches with different N_i.  All
+    samples are packed into one (1, sum(B_i*N_i), D) row sequence and run
+    through ONE pre-norm block with block-diagonal (per-sample) attention via
+    ``packed_self_attention(..., segment_lengths=...)`` — the TPU equivalent
+    of the xFormers BlockDiagonalMask path.  Training-only in the reference
+    (multi-crop batches); inference always uses uniform shapes.
+    """
+    d = x_list[0].shape[-1]
+    seglens = []
+    for xi in x_list:
+        seglens.extend([xi.shape[1]] * xi.shape[0])
+    packed = jnp.concatenate([xi.reshape(1, -1, d) for xi in x_list], axis=1)
+    dh = d // cfg.num_heads
+    scale = dh ** -0.5
+    h = layer_norm(p["norm1"], packed)
+    qkv = linear(p["attn"]["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = packed_self_attention(q, k, v, cfg.num_heads, scale, attn_impl,
+                              segment_lengths=tuple(seglens))
+    h = linear(p["attn"]["proj"], o)
+    packed = packed + h * p["ls1"].astype(h.dtype)
+    h = _mlp(p["mlp"], layer_norm(p["norm2"], packed), cfg.ffn_layer)
+    packed = packed + h * p["ls2"].astype(h.dtype)
+    outs = []
+    off = 0
+    for xi in x_list:
+        n = xi.shape[0] * xi.shape[1]
+        outs.append(packed[0, off:off + n].reshape(xi.shape))
+        off += n
+    return outs
+
+
 def prepare_tokens(params, x, cfg: EncoderConfig):
     """Patch-embed + cls token + (interpolated) position embedding
     (reference dinov2.py:212-231)."""

@@ -63,13 +63,39 @@ def dot_product_attention(q, k, v, scale: float | None = None,
 
 
 def packed_self_attention(q, k, v, heads: int, scale: float | None = None,
-                          impl: str = "auto"):
+                          impl: str = "auto", segment_lengths=None):
     """Self-attention over head-packed (B, N, H*D) tensors — the fused-qkv
-    native layout, avoiding all per-head reshapes on the pallas path."""
+    native layout, avoiding all per-head reshapes on the pallas path.
+
+    segment_lengths: static tuple of per-sequence lengths for variable-length
+    packed batches (requires B == 1, N == sum(segment_lengths)); attention is
+    block-diagonal over the segments — the NestedTensorBlock equivalent
+    (reference dinov2_layers/block.py:204-252)."""
     b, n, hd = q.shape
     d = hd // heads
     if scale is None:
         scale = d ** -0.5
+    if segment_lengths is not None:
+        if b != 1:
+            raise ValueError("segment_lengths requires a packed batch (B=1)")
+        if impl == "auto":
+            impl = "pallas" if (_on_tpu() and d % 8 == 0) else "xla"
+        if impl == "pallas":
+            from vda_tpu.ops.pallas_attention import segment_attention
+            out = segment_attention(q[0], k[0], v[0], heads=heads,
+                                    scale=scale,
+                                    segment_lengths=segment_lengths)
+            return out[None]
+        # xla fallback: per-segment attention (exact block-diagonal math)
+        outs = []
+        off = 0
+        for ln in segment_lengths:
+            qs = q[:, off:off + ln].reshape(1, ln, heads, d)
+            ks = k[:, off:off + ln].reshape(1, ln, heads, d)
+            vs = v[:, off:off + ln].reshape(1, ln, heads, d)
+            outs.append(_xla_attention(qs, ks, vs, scale).reshape(1, ln, hd))
+            off += ln
+        return jnp.concatenate(outs, axis=1)
     if impl == "auto":
         impl = "pallas" if (_on_tpu() and n >= 512 and d % 8 == 0) else "xla"
     if impl == "pallas":

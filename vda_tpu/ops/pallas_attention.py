@@ -326,6 +326,151 @@ def tiny_seq_attention(q, k, v, heads: int, seq: int, scale: float,
     return out[:bd] if pad_bd else out
 
 
+def _plan_segments(segment_lengths, min_cap: int = 128):
+    """Static bin-packing of variable-length segments into lane-aligned bins.
+
+    Returns (cap, bins) where bins is a list of [(seg_idx, start_slot), ...]
+    and cap is the per-bin row capacity (multiple of 128 so the in-kernel
+    (cap, cap) score tile is lane-aligned).  Order-preserving greedy packing:
+    the TPU equivalent of xFormers BlockDiagonalMask.from_seqlens (reference
+    dinov2_layers/block.py:159-179) — static shapes, one kernel cell per bin.
+    """
+    lengths = [int(l) for l in segment_lengths]
+    if not lengths or min(lengths) <= 0:
+        raise ValueError("segment_lengths must be positive")
+    cap = max(min_cap, -(-max(lengths) // 128) * 128)
+    bins, cur, used = [], [], 0
+    for si, ln in enumerate(lengths):
+        if used + ln > cap:
+            bins.append(cur)
+            cur, used = [], 0
+        cur.append((si, used))
+        used += ln
+    bins.append(cur)
+    return cap, bins
+
+
+def _segment_kernel(bounds_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                    heads: int, n_bounds: int):
+    """Block-diagonal attention inside one bin.
+
+    bounds_ref (SMEM, (1, n_bounds)): segment start slots of this bin plus an
+    end-of-data sentinel, padded by repeating the sentinel.  Row/col segment
+    ids are recovered as id(r) = sum_s [r >= bounds_s]; pad rows get an id
+    past every real segment, so they only attend to themselves (garbage rows,
+    sliced away by the caller's inverse gather).
+    """
+    c, hd = q_ref.shape
+    d = hd // heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    qid = jnp.zeros((c, c), jnp.int32)
+    kid = jnp.zeros((c, c), jnp.int32)
+    for s in range(n_bounds):
+        b = bounds_ref[0, s]
+        qid += (row >= b).astype(jnp.int32)
+        kid += (col >= b).astype(jnp.int32)
+    same = qid == kid
+    bf16 = v_ref.dtype == jnp.bfloat16
+    for h in range(heads):
+        qh = q_ref[:, h * d:(h + 1) * d]
+        kh = k_ref[:, h * d:(h + 1) * d]
+        vh = v_ref[:, h * d:(h + 1) * d]
+        s_ = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s_ = jnp.where(same, s_, -jnp.inf)
+        m = jnp.max(s_, axis=-1, keepdims=True)
+        e = jnp.exp((s_ - m).astype(jnp.bfloat16)) if bf16 else jnp.exp(s_ - m)
+        z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:, h * d:(h + 1) * d] = (o / z).astype(o_ref.dtype)
+
+
+def segment_attention(q, k, v, heads: int, scale: float, segment_lengths):
+    """Variable-length packed self-attention (NestedTensorBlock equivalent).
+
+    q/k/v: (total, H*D) rows of ``len(segment_lengths)`` back-to-back
+    sequences; attention never crosses a segment boundary.  This is the
+    TPU-native replacement for the reference's xFormers BlockDiagonalMask
+    batching (reference dinov2_layers/block.py:204-252): segments are
+    statically bin-packed into lane-aligned bins (one grid cell each), and a
+    segment-id mask computed from SMEM boundaries keeps the math exact.
+
+    segment_lengths must be static (python ints) — like the reference, which
+    caches one attn_bias per shape tuple (block.py:156-179).
+    """
+    import numpy as np
+
+    total, hd = q.shape
+    d = hd // heads
+    lengths = [int(l) for l in segment_lengths]
+    if sum(lengths) != total:
+        raise ValueError(f"segment_lengths sum {sum(lengths)} != rows {total}")
+    cap, bins = _plan_segments(lengths)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    n_bins = len(bins)
+    n_bounds = max(len(b) for b in bins) + 1  # starts + end sentinel
+
+    gather = np.full((n_bins, cap), total, np.int32)  # `total` = fill row
+    bounds = np.full((n_bins, n_bounds), cap, np.int32)
+    inv = np.empty((total,), np.int32)
+    for bi, segs in enumerate(bins):
+        for sj, (si, start) in enumerate(segs):
+            ln = lengths[si]
+            gather[bi, start:start + ln] = np.arange(
+                offsets[si], offsets[si] + ln, dtype=np.int32)
+            inv[offsets[si]:offsets[si] + ln] = bi * cap + np.arange(
+                start, start + ln, dtype=np.int32)
+            bounds[bi, sj] = start
+        end = segs[-1][1] + lengths[segs[-1][0]]
+        bounds[bi, len(segs)] = end
+
+    gather_idx = jnp.asarray(gather.reshape(-1))
+    binned = [jnp.take(t, gather_idx, axis=0, mode="fill", fill_value=0)
+              for t in (q, k, v)]
+
+    # head grouping along lanes, same policy as the packed kernel
+    candidates = [g for g in range(1, heads + 1)
+                  if heads % g == 0 and (g * d) % 128 == 0]
+    if candidates:
+        fitting = [g for g in candidates if g * d <= 256]
+        g_heads = max(fitting) if fitting else min(candidates)
+    else:
+        g_heads = heads
+    gw = g_heads * d
+    n_groups = hd // gw
+
+    kernel = functools.partial(_segment_kernel, scale=scale, heads=g_heads,
+                               n_bounds=n_bounds)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_bins, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, n_bounds), lambda b, g: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cap, gw), lambda b, g: (b, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, gw), lambda b, g: (b, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, gw), lambda b, g: (b, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cap, gw), lambda b, g: (b, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bins * cap, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * sum(l * l for l in lengths) * hd,
+            bytes_accessed=4 * total * hd * q.dtype.itemsize,
+            transcendentals=sum(l * l for l in lengths) * heads,
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(bounds), *binned)
+    return jnp.take(out, jnp.asarray(inv), axis=0)
+
+
 def flash_attention(q, k, v, scale: float, block_q: int | None = None):
     """Fused attention over (B, N, H, D) tensors (non-causal, self-attn).
 
