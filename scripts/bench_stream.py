@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Streaming step decomposition (vitl, 518x518) on the real chip.
+
+Measures the steady-state pipelined ms/frame (as bench.py does), then the
+isolated pieces with the slope method: batch-1 encoder, head-with-cache, and
+the cache gather/scatter.
+
+    python scripts/bench_stream.py e2e      # pipelined end-to-end
+    python scripts/bench_stream.py enc      # batch-1 encoder
+    python scripts/bench_stream.py head     # head with 31-entry cache
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vda_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
+def sync(r):
+    return np.asarray(jax.tree_util.tree_leaves(r)[0])
+
+
+def slope(fns, args, lo=2, hi=6, reps=3):
+    out = {}
+    for name, f in fns.items():
+        sync(f(*args))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(f(*args))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        out[name] = ts[len(ts) // 2]
+    return (out["hi"] - out["lo"]) / (hi - lo) * 1e3
+
+
+def main():
+    stages = sys.argv[1:] or ["e2e"]
+    from vda_tpu.config import get_config
+    from vda_tpu.models import init_video_depth_anything
+    from vda_tpu.utils.convert import cast_params_for_inference
+
+    cfg = get_config("vitl")
+    params = cast_params_for_inference(
+        init_video_depth_anything(jax.random.PRNGKey(0), cfg))
+
+    if "e2e" in stages:
+        from vda_tpu.infer import StreamingDepth
+        stream = StreamingDepth(params, cfg, input_size=518)
+        frame = np.full((518, 518, 3), 128, np.uint8)
+        for _ in range(14):
+            d = stream.submit(frame)
+        np.asarray(d)
+        t0 = time.perf_counter()
+        hs = [stream.submit(frame) for _ in range(32)]
+        for h in hs:
+            np.asarray(h)
+        ms = (time.perf_counter() - t0) / 32 * 1e3
+        print(f"streaming e2e (pipelined): {ms:.2f} ms/frame", flush=True)
+
+    if "enc" in stages:
+        from vda_tpu.models.vda import forward_features
+        x = jnp.ones((1, 1, 518, 518, 3), jnp.bfloat16)
+
+        def make(k):
+            @jax.jit
+            def f(params, x):
+                for _ in range(k):
+                    feats = forward_features(params, x, cfg, "auto")
+                    fb = feats[-1][0][0, 0, 0] * 1e-12
+                    x = x + fb.astype(x.dtype)
+                return x[0, 0, :1, :1, 0]
+            return f
+
+        ms = slope({"lo": make(2), "hi": make(6)}, (params, x))
+        print(f"batch-1 encoder: {ms:.2f} ms", flush=True)
+
+    if "head" in stages:
+        from vda_tpu.models.vda import forward_depth, forward_features
+        x = jnp.ones((1, 1, 518, 518, 3), jnp.bfloat16)
+        feats0 = jax.jit(
+            lambda p, x: forward_features(p, x, cfg, "auto"))(params, x)
+        # 31-entry caches at the 4 module shapes x 2 attn blocks
+        shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
+        caches = []
+        for bhw, c in shapes:
+            caches += [jnp.ones((bhw, 31, c), jnp.bfloat16)] * 2
+
+        def make(k):
+            @jax.jit
+            def f(params, feats, caches):
+                d = None
+                for _ in range(k):
+                    d, new = forward_depth(params, feats, (1, 1, 518, 518, 3),
+                                           cfg, cached_hidden_state_list=caches)
+                    caches = [
+                        jnp.concatenate([c[:, 1:], n.astype(c.dtype)], axis=1)
+                        for c, n in zip(caches, new)]
+                return d[..., :1, :1]
+            return f
+
+        ms = slope({"lo": make(2), "hi": make(6)}, (params, feats0, caches))
+        print(f"head with 31-entry cache: {ms:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

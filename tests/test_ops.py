@@ -46,6 +46,18 @@ class TestResize:
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
 
+    def test_bilinear_gather_matches_matmul_form(self):
+        from vda_tpu.ops.resize import resize_bilinear_gather
+
+        x = RNG.standard_normal((2, 17, 23, 5)).astype(np.float32)
+        for out_hw in [(34, 46), (37, 37), (100, 50), (9, 11)]:
+            for ac in (True, False):
+                a = np.asarray(resize_bilinear(jnp.asarray(x), out_hw,
+                                               align_corners=ac))
+                b = np.asarray(resize_bilinear_gather(jnp.asarray(x), out_hw,
+                                                      align_corners=ac))
+                np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
     def test_bicubic_halfpixel_matches_torch(self):
         import torch
         import torch.nn.functional as F
@@ -153,6 +165,24 @@ class TestLayers:
                 stride=stride, padding=pad,
             ).permute(0, 2, 3, 1).numpy()
             np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    def test_conv2d_s2d_matches_plain(self):
+        from vda_tpu.ops.layers import conv2d_3x3_s2d, init_conv2d
+
+        import jax
+
+        key = jax.random.PRNGKey(3)
+        p = init_conv2d(key, 3, 12, 5)
+        x = jnp.asarray(RNG.standard_normal((2, 16, 10, 12)).astype(np.float32))
+        a = np.asarray(conv2d(p, x, padding=1))
+        b = np.asarray(conv2d_3x3_s2d(p, x))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        # bf16 operands with fp32 accumulation (the output-island form)
+        a32 = np.asarray(conv2d(p, x.astype(jnp.bfloat16), padding=1,
+                                accumulate_fp32=True))
+        b32 = np.asarray(conv2d_3x3_s2d(p, x.astype(jnp.bfloat16),
+                                        accumulate_fp32=True))
+        np.testing.assert_allclose(a32, b32, rtol=1e-2, atol=1e-2)
 
     @pytest.mark.parametrize("k", [2, 4])
     def test_conv_transpose_same_stride_matches_torch(self, k):

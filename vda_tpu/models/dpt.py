@@ -147,13 +147,40 @@ def _output_tail(p, path_3, layer_2_rn, layer_1_rn, out_hw):
     out = conv2d(p["output_conv1"], path_1, padding=1)
     out = resize_bilinear(out, out_hw, align_corners=True)
     ori_dtype = out.dtype
-    if ori_dtype == jnp.bfloat16:
+    if (ori_dtype == jnp.bfloat16 and out_hw[0] % 2 == 0
+            and out_hw[1] % 2 == 0):
         # fp32 island, TPU form: fp32 convs are MXU-emulated at ~16 TF/s
         # (6-pass), ~10% of a vitl window.  The island's purpose is fp32
         # ACCUMULATION over the 9x128 conv sums — the input here is already
         # bf16-precision (it came through the bf16 pipeline), so bf16
         # operands + fp32 accumulation + fp32 elementwise preserve it at
         # MXU-native speed.
+        #
+        # Additionally, both island convs have tiny output-channel counts
+        # (32 then 1) which strand 3/4 of the MXU lanes, so they run in the
+        # 2x2-block space-to-depth form (ops/layers._s2d_weight): conv0 as a
+        # stride-2 conv with full 128-lane output, conv1 as a block-diagonal
+        # (128, 4) matmul on the blocked layout, and only the final
+        # 4-channel result is depth-to-spaced (1/32 the bytes of unblocking
+        # conv0's output).  Bit-identical math, ~2x faster island.
+        from vda_tpu.ops.layers import _s2d_weight
+
+        b, oh, ow = out.shape[0], out_hw[0], out_hw[1]
+        c0, c1 = p["output_conv2"]["conv0"], p["output_conv2"]["conv1"]
+        y2 = jax.lax.conv_general_dilated(
+            out, _s2d_weight(c0["w"].astype(out.dtype)),
+            window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)       # (B, H/2, W/2, 4*32)
+        y2 = jax.nn.relu(y2 + jnp.tile(c0["b"].astype(jnp.float32), 4))
+        # blocked 1x1 conv: (4*32 -> 4), block-diagonal kron(I4, w1)
+        w1 = c1["w"][0, 0, :, 0].astype(jnp.float32)  # (32,)
+        w1b = jnp.kron(jnp.eye(4, dtype=jnp.float32), w1[:, None])  # (128, 4)
+        z = jax.nn.relu(jnp.matmul(y2, w1b) + c1["b"].astype(jnp.float32))
+        z = z.reshape(b, oh // 2, ow // 2, 2, 2, 1)
+        out32 = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, oh, ow, 1)
+        return out32.astype(ori_dtype)
+    if ori_dtype == jnp.bfloat16:
         out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv0"], out, padding=1,
                                    accumulate_fp32=True))  # fp32 out + bias
         out32 = jax.nn.relu(conv2d(p["output_conv2"]["conv1"], out32,

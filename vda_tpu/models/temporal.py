@@ -142,10 +142,20 @@ def _temporal_attention(p, h, cfg: ModelConfig,
         pe = jnp.asarray(_sinusoidal_pe(t_full, c))
         h = h + pe[None, :t_full].astype(h.dtype)
 
-    q_in = h[:, d_in:]
-    q = linear(p["to_q"], q_in)
-    k = linear(p["to_k"], h)
-    v = linear(p["to_v"], h)
+    if d_in == 0:  # rope is applied after projection, so fusing stays valid
+        # offline path: q/k/v all project the same h — one fused (C, 3C)
+        # matmul keeps the MXU busy at small widths (C=256 modules measured
+        # ~36 TF/s with three separate matmuls; the weight concat is a few
+        # hundred KB and hoisted off the critical path by XLA)
+        w = jnp.concatenate(
+            [p["to_q"]["w"], p["to_k"]["w"], p["to_v"]["w"]], axis=1)
+        qkv = jnp.matmul(h, w.astype(h.dtype))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q_in = h[:, d_in:]
+        q = linear(p["to_q"], q_in)
+        k = linear(p["to_k"], h)
+        v = linear(p["to_v"], h)
 
     if cfg.pe == "rope":
         cos, sin = _rope_tables(c, t_full)

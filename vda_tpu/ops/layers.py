@@ -111,6 +111,51 @@ def conv2d(p, x, stride: int = 1, padding="SAME", accumulate_fp32=False):
     return y
 
 
+def _s2d_weight(w):
+    """Embed a (3,3,Cin,Cout) kernel into a (4,4,Cin,4*Cout) stride-2 kernel.
+
+    With the input padded by 1 on each side, a stride-2 VALID conv with this
+    kernel computes all four 2x2-block output pixels at once: output channel
+    (di*2+dj)*Cout+co at block (i,j) equals the stride-1 SAME conv's output
+    at pixel (2i+di, 2j+dj).  Tap mapping: kernel row r = di+u (u the
+    original 3x3 row), zero where r-di leaves [0,3).
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    w4 = jnp.zeros((4, 4, cin, 2, 2, cout), w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            w4 = w4.at[di:di + 3, dj:dj + 3, :, di, dj, :].set(w)
+    return w4.reshape(4, 4, cin, 4 * cout)
+
+
+def conv2d_3x3_s2d(p, x, accumulate_fp32=False):
+    """3x3 stride-1 SAME conv computed as a stride-2 conv with the kernel
+    embedded at the four 2x2-block offsets (``_s2d_weight``).
+
+    For small output channel counts the plain conv wastes MXU lanes (the DPT
+    output island's 128->32 conv at 518^2 uses 32 of 128 lanes, ~49 TF/s
+    measured).  This form has 16/9 the nominal FLOPs but full lane
+    utilization, needs NO input rearrangement (only the output
+    depth-to-space), and matches ``conv2d(p, x, padding=1)`` exactly.
+    Requires even H and W.
+    """
+    w = p["w"]
+    assert w.shape[:2] == (3, 3), "s2d form implemented for 3x3 only"
+    b, h, ww, cin = x.shape
+    assert h % 2 == 0 and ww % 2 == 0, "s2d conv needs even spatial dims"
+    cout = w.shape[3]
+    kwargs = {"preferred_element_type": jnp.float32} if accumulate_fp32 else {}
+    y2 = jax.lax.conv_general_dilated(
+        x, _s2d_weight(w.astype(x.dtype)),
+        window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs)
+    y = y2.reshape(b, h // 2, ww // 2, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, ww, cout)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
 def conv_transpose_same_stride(p, x, k: int):
     """ConvTranspose2d with kernel_size == stride and no padding.
 

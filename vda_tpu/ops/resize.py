@@ -106,6 +106,45 @@ def _apply_separable(x, mh: np.ndarray, mw: np.ndarray):
     return y.astype(dtype)
 
 
+@functools.lru_cache(maxsize=256)
+def _lerp_tables(in_size: int, out_size: int, align_corners: bool,
+                 scale: float | None = None):
+    """(i0, i1, w1) gather/lerp tables for one axis (same math as
+    _linear_matrix, two-tap form)."""
+    src = _src_coords(in_size, out_size, align_corners, scale)
+    src = np.clip(src, 0.0, in_size - 1)
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    return i0, i1, w1
+
+
+def _lerp_axis(x, axis: int, out_size: int, align_corners: bool, scale):
+    i0, i1, w1 = _lerp_tables(x.shape[axis], out_size, align_corners, scale)
+    x0 = jnp.take(x, jnp.asarray(i0), axis=axis).astype(jnp.float32)
+    x1 = jnp.take(x, jnp.asarray(i1), axis=axis).astype(jnp.float32)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = jnp.asarray(w1).reshape(shape)
+    return x0 * (1.0 - w) + x1 * w
+
+
+def resize_bilinear_gather(x, out_hw, align_corners: bool = True, scale=None):
+    """Two-tap gather/lerp bilinear resize — identical math to
+    ``resize_bilinear`` but O(2) taps per output instead of a dense (out, in)
+    contraction.  Wins for large upsamplings where the dense matmul pays
+    in_size MACs per output (e.g. the 296->518 island resize)."""
+    oh, ow = out_hw
+    sh, sw = (scale if scale is not None else (None, None))
+    dtype = x.dtype
+    y = x
+    if oh != x.shape[-3]:
+        y = _lerp_axis(y, y.ndim - 3, oh, align_corners, sh)
+    if ow != y.shape[-2]:
+        y = _lerp_axis(y, y.ndim - 2, ow, align_corners, sw)
+    return y.astype(dtype)
+
+
 def resize_bilinear(x, out_hw, align_corners: bool = True, scale=None):
     """Bilinear resize of NHWC (or any (..., H, W, C)) input.
 
