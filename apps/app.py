@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_demo(encoder: str = "vitl", checkpoint: str = None,
-               random_init: bool = False):
+               random_init: bool = False, input_size: int = 518):
     try:
         import gradio as gr
     except ImportError as e:
@@ -33,7 +33,8 @@ def build_demo(encoder: str = "vitl", checkpoint: str = None,
     def infer(video_path, max_len, target_fps, max_res):
         frames, fps = read_video_frames(video_path, int(max_len),
                                         int(target_fps), int(max_res))
-        depths, out_fps = infer_video_depth(params, frames, fps, cfg)
+        depths, out_fps = infer_video_depth(params, frames, fps, cfg,
+                                            input_size=input_size)
         out_dir = tempfile.mkdtemp(prefix="vda_demo_")
         src = os.path.join(out_dir, "src.mp4")
         vis = os.path.join(out_dir, "vis.mp4")

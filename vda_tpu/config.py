@@ -98,6 +98,11 @@ MODEL_CONFIGS = {
     "vits": ModelConfig("vits", 64, (48, 96, 192, 384), (2, 5, 8, 11), _VIT["vits"]),
     "vitb": ModelConfig("vitb", 128, (96, 192, 384, 768), (2, 5, 8, 11), _VIT["vitb"]),
     "vitl": ModelConfig("vitl", 256, (256, 512, 1024, 1024), (4, 11, 17, 23), _VIT["vitl"]),
+    # development/demo size (no reference counterpart): seconds-fast CPU
+    # compiles for tests, the stubbed demo, and docs examples
+    "tiny": ModelConfig(
+        "tiny", 32, (32, 32, 32, 32), (0, 0, 1, 1),
+        EncoderConfig(embed_dim=64, depth=2, num_heads=2, img_size=56)),
 }
 
 

@@ -76,8 +76,13 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
     """
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
+    # context assembly as a one-hot contraction, NOT a gather: XLA lowers
+    # jnp.take along a middle axis to a scalar gather loop on TPU (measured
+    # ~80 ms/step for the 8 buffers); the (31, BUF_ROWS) one-hot matmul reads
+    # each buffer once at full HBM bandwidth and rides the MXU (<1 ms).
+    sel = jax.nn.one_hot(ctx_idx, _BUF_ROWS, dtype=dtype)  # (31, rows)
     cache_list = [
-        jnp.take(buf, ctx_idx, axis=1).astype(dtype)  # (BHW, 31, C)
+        jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))  # (BHW, 31, C)
         for buf in buffers
     ]
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
