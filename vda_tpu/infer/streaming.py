@@ -49,28 +49,34 @@ _BUF_ROWS = STREAM_MAX_CACHE + 1
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl"))
+                                             "attn_impl", "cache_kind"))
 def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
-                attn_impl):
+                attn_impl, cache_kind):
     """First frame: T=1 forward, returns depth + the 8 new cache rows."""
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
-    depth, caches = forward_depth(params, feats, x.shape, cfg)
+    depth, caches = forward_depth(params, feats, x.shape, cfg,
+                                  cache_kind=cache_kind)
     from vda_tpu.ops.resize import resize_bilinear
     d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
                         align_corners=True)[0, ..., 0]
+    if cache_kind == "kv":
+        return d, [(k[:, 0], v[:, 0]) for k, v in caches]
     return d, [c[:, 0] for c in caches]  # each (BHW, C)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl"),
+                                             "attn_impl", "cache_kind"),
                    donate_argnums=(2,))  # buffers update in place (~600 MB)
 def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
-                 cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl):
+                 cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
+                 cache_kind):
     """One causal step.
 
-    buffers: list of 8 arrays (BHW, _BUF_ROWS, C) — BHW-major so the context
-    gather needs no transpose.
+    buffers: pytree of 8 cache slots, each (BHW, _BUF_ROWS, C) — one array
+    per slot in "h" mode, a (k, v) tuple per slot in "kv" mode (the fast
+    path: pre-PE K/V projections, models/temporal._temporal_attention_kv).
+    BHW-major so the context assembly needs no transpose.
     ctx_idx: int32 (31,) rows forming the KV context (oldest..newest).
     write_pos: int32 scalar, row to overwrite with the new frame's cache.
     """
@@ -81,19 +87,22 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
     # ~80 ms/step for the 8 buffers); the (31, BUF_ROWS) one-hot matmul reads
     # each buffer once at full HBM bandwidth and rides the MXU (<1 ms).
     sel = jax.nn.one_hot(ctx_idx, _BUF_ROWS, dtype=dtype)  # (31, rows)
-    cache_list = [
-        jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))  # (BHW, 31, C)
-        for buf in buffers
-    ]
+
+    def ctx(buf):
+        return jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))
+
+    cache_list = jax.tree_util.tree_map(ctx, buffers)
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
-                                      cached_hidden_state_list=cache_list)
+                                      cached_hidden_state_list=cache_list,
+                                      cache_kind=cache_kind)
     from vda_tpu.ops.resize import resize_bilinear
     d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
                         align_corners=True)[0, ..., 0]
-    new_buffers = [
-        buf.at[:, write_pos].set(nc[:, 0].astype(buf.dtype))
-        for buf, nc in zip(buffers, new_caches)
-    ]
+
+    def write(buf, nc):
+        return buf.at[:, write_pos].set(nc[:, 0].astype(buf.dtype))
+
+    new_buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
     return d, new_buffers
 
 
@@ -102,12 +111,20 @@ class StreamingDepth:
     video_depth_stream.py:32-161 ``infer_video_depth_one``)."""
 
     def __init__(self, params, cfg: ModelConfig, input_size: int = 518,
-                 fp32: bool = False, attn_impl: str = "auto"):
+                 fp32: bool = False, attn_impl: str = "auto",
+                 cache_kind: str = "kv"):
+        """cache_kind: "kv" (default) caches pre-PE K/V projections and skips
+        re-projecting the 31 context frames every step (~0.6 TFLOP/step at
+        vitl, see models/temporal._temporal_attention_kv); "h" caches pre-PE
+        hidden states exactly like the reference (video_depth_stream.py:
+        134-140).  Outputs agree to ~1 bf16 ulp (tests/test_streaming_kv.py).
+        """
         self.params = params
         self.cfg = cfg
         self.input_size = input_size
         self.dtype = jnp.float32 if fp32 else jnp.bfloat16
         self.attn_impl = attn_impl
+        self.cache_kind = cache_kind
         self.reset()
 
     def reset(self):
@@ -142,14 +159,15 @@ class StreamingDepth:
             self.out_hw = (h, w)
             depth, first_rows = _first_step(
                 self.params, jnp.asarray(frame), self.cfg, self.net_hw,
-                self.out_hw, self.dtype, self.attn_impl)
+                self.out_hw, self.dtype, self.attn_impl, self.cache_kind)
+
             # replication trick (reference :118): the first frame's cache is
             # stored once; the first INFER_LEN logical entries all map to row 0
-            self.buffers = [
-                jnp.zeros((row.shape[0], _BUF_ROWS, row.shape[1]), row.dtype)
-                .at[:, 0].set(row)
-                for row in first_rows
-            ]
+            def make_buf(row):
+                return (jnp.zeros((row.shape[0], _BUF_ROWS, row.shape[1]),
+                                  row.dtype).at[:, 0].set(row))
+
+            self.buffers = jax.tree_util.tree_map(make_buf, first_rows)
             self.order = [0] * INFER_LEN
             self.free = list(range(1, _BUF_ROWS))
             self._slide()
@@ -162,7 +180,8 @@ class StreamingDepth:
         depth, self.buffers = _stream_step(
             self.params, jnp.asarray(frame), self.buffers,
             jnp.asarray(ctx, jnp.int32), jnp.int32(write_pos),
-            self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl)
+            self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
+            self.cache_kind)
         self.free.pop(0)
         self.order.append(write_pos)
         self._slide()

@@ -210,12 +210,13 @@ def dpt_head_spatial_apply(p, features, patch_hw):
     return _output_tail(p, path_3, l2, l1, (ph * 14, pw * 14))
 
 
-def _with_temporal(p_mm, x, cfg, frame_length, cache):
+def _with_temporal(p_mm, x, cfg, frame_length, cache, want_kv=False):
     """Run a TemporalModule on (B*T, h, w, C) features."""
     bt, hh, ww, c = x.shape
     b = bt // frame_length
     xt = x.reshape(b, frame_length, hh, ww, c)
-    yt, new_cache = temporal_module_apply(p_mm, xt, cfg, cache)
+    yt, new_cache = temporal_module_apply(p_mm, xt, cfg, cache,
+                                          want_kv=want_kv)
     return yt.reshape(bt, hh, ww, c), new_cache
 
 
@@ -225,14 +226,20 @@ def dpt_head_temporal_apply(
     patch_hw: Tuple[int, int],
     frame_length: int,
     cfg: ModelConfig,
-    cached_hidden_state_list: Optional[List[jnp.ndarray]] = None,
+    cached_hidden_state_list: Optional[List] = None,
     micro_batch_size: int = 4,
+    cache_kind: str = "h",
 ):
     """DPTHeadTemporal forward (reference dpt_temporal.py:53-125).
 
     features: list of 4 (tokens (B*T, N, D), cls) taps, T == frame_length
     (number of NEW frames; 32 offline, 1 streaming).
     Returns (depth (B*T, 14*ph, 14*pw, 1), new_cache_list[8]).
+
+    cache_kind: "h" returns/consumes pre-PE hidden states (the reference's
+    cache, dpt_temporal.py:74-93); "kv" returns/consumes (k, v) pre-PE
+    projection tuples (streaming fast path, models/temporal.py
+    ``_temporal_attention_kv``).
     """
     ph, pw = patch_hw
     n_mm = len(p["motion_modules"])
@@ -247,10 +254,11 @@ def dpt_head_temporal_apply(
 
     layer_1, layer_2, layer_3, layer_4 = _project_and_resize(p, features, patch_hw)
 
+    want_kv = cache_kind == "kv"
     layer_3, h0 = _with_temporal(p["motion_modules"][0], layer_3, cfg,
-                                 frame_length, cache_slice(0))
+                                 frame_length, cache_slice(0), want_kv)
     layer_4, h1 = _with_temporal(p["motion_modules"][1], layer_4, cfg,
-                                 frame_length, cache_slice(1))
+                                 frame_length, cache_slice(1), want_kv)
 
     l1 = conv2d(p["scratch"]["layer1_rn"], layer_1, padding=1)
     l2 = conv2d(p["scratch"]["layer2_rn"], layer_2, padding=1)
@@ -259,10 +267,10 @@ def dpt_head_temporal_apply(
 
     path_4 = _fusion(p["refinenet4"], l4, size=l3.shape[1:3])
     path_4, h2 = _with_temporal(p["motion_modules"][2], path_4, cfg,
-                                frame_length, cache_slice(2))
+                                frame_length, cache_slice(2), want_kv)
     path_3 = _fusion(p["refinenet3"], path_4, l3, size=l2.shape[1:3])
     path_3, h3 = _with_temporal(p["motion_modules"][3], path_3, cfg,
-                                frame_length, cache_slice(3))
+                                frame_length, cache_slice(3), want_kv)
 
     out_hw = (ph * 14, pw * 14)
     batch = l1.shape[0]

@@ -124,13 +124,19 @@ def init_temporal_module(key, in_channels: int, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 def _temporal_attention(p, h, cfg: ModelConfig,
-                        cache: Optional[jnp.ndarray]):
+                        cache, want_kv: bool = False):
     """h: (BD, T_new, C) sequences (already rearranged per spatial position).
 
-    cache: optional (BD, T_cache, C) pre-PE hidden states.
-    Returns (out (BD, T_new, C), input_hidden_states (BD, T_new, C)).
-    Reference motion_module.py:242-321.
+    cache: None, a (BD, T_cache, C) array of pre-PE hidden states (the
+    reference's cache content, motion_module.py:251-254), or a
+    ``(k_ctx, v_ctx)`` tuple of (BD, T_cache, C) pre-PE *projections* (the
+    TPU streaming fast path, see ``_temporal_attention_kv``).
+    Returns (out (BD, T_new, C), cache_row) where cache_row matches the
+    cache kind: pre-PE hidden states, or (k_new, v_new) when ``want_kv`` or
+    a kv cache was passed.  Reference motion_module.py:242-321.
     """
+    if isinstance(cache, tuple):
+        return _temporal_attention_kv(p, h, cfg, cache)
     input_hidden_states = h
     d_in = 0
     if cache is not None:
@@ -184,7 +190,59 @@ def _temporal_attention(p, h, cfg: ModelConfig,
                             preferred_element_type=jnp.float32) * (dh ** -0.5)
         probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, -1, c)
-    return linear(p["to_out"], o), input_hidden_states
+    out = linear(p["to_out"], o)
+    if want_kv:
+        # pre-PE projections of the new frames, for the streaming KV cache
+        return out, (linear(p["to_k"], input_hidden_states),
+                     linear(p["to_v"], input_hidden_states))
+    return out, input_hidden_states
+
+
+def _temporal_attention_kv(p, h, cfg: ModelConfig, cache):
+    """Streaming fast path: the cache holds pre-PE K/V *projections*.
+
+    The reference re-projects all 32 context frames through to_k/to_v every
+    step (motion_module.py:266-274 with the assembled cache) — ~0.6 TFLOP
+    per streaming step at vitl.  to_k/to_v are bias-free linear maps, so
+    to_k(h_i + pe[pos_i]) == to_k(h_i) + to_k(pe[pos_i]): cache to_k(h_i)
+    once per frame and add the projected position encoding — a (T, C)
+    matmul — per step.  With RoPE the split is exact (rotation is applied
+    post-projection); with APE it differs from the reference only by one
+    rounding of the sum, below bf16 noise (quantified in
+    tests/test_streaming_kv.py).
+    """
+    kc, vc = cache
+    bd, t_new, c = h.shape
+    d_in = kc.shape[1]
+    t_full = d_in + t_new
+    k_new = linear(p["to_k"], h)
+    v_new = linear(p["to_v"], h)
+    k = jnp.concatenate([kc.astype(h.dtype), k_new], axis=1)
+    v = jnp.concatenate([vc.astype(h.dtype), v_new], axis=1)
+
+    if cfg.pe == "ape":
+        pe = jnp.asarray(_sinusoidal_pe(t_full, c)).astype(h.dtype)
+        q = linear(p["to_q"], h + pe[None, d_in:t_full])
+        k = k + linear(p["to_k"], pe)[None]
+        v = v + linear(p["to_v"], pe)[None]
+    else:
+        q = linear(p["to_q"], h)
+        cos, sin = _rope_tables(c, t_full)
+        q = _apply_rope(q, jnp.asarray(cos)[None, d_in:t_full],
+                        jnp.asarray(sin)[None, d_in:t_full])
+        k = _apply_rope(k, jnp.asarray(cos)[None, :t_full],
+                        jnp.asarray(sin)[None, :t_full])
+
+    heads = cfg.num_attention_heads
+    dh = c // heads
+    qh = q.reshape(bd, t_new, heads, dh)
+    kh = k.reshape(bd, t_full, heads, dh)
+    vh = v.reshape(bd, t_full, heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, t_new, c)
+    return linear(p["to_out"], o), (k_new, v_new)
 
 
 def _on_tpu_or_interpret() -> bool:
@@ -195,13 +253,14 @@ def _on_tpu_or_interpret() -> bool:
     return _on_tpu() or os.environ.get("VDA_PALLAS_INTERPRET", "0") == "1"
 
 
-def _transformer_block(p, h, cfg: ModelConfig, caches):
+def _transformer_block(p, h, cfg: ModelConfig, caches, want_kv: bool = False):
     """h: (BD, T_new, C).  Reference motion_module.py:172-189."""
     out_caches = []
     for i in range(cfg.num_attention_blocks):
         hn = layer_norm(p["norms"][i], h, eps=1e-5)
         attn_out, input_hs = _temporal_attention(
-            p["attn"][i], hn, cfg, caches[i] if caches is not None else None)
+            p["attn"][i], hn, cfg, caches[i] if caches is not None else None,
+            want_kv=want_kv)
         h = attn_out + h
         out_caches.append(input_hs)
     # GEGLU FF (reference motion_module/attention.py:363-384)
@@ -214,15 +273,18 @@ def _transformer_block(p, h, cfg: ModelConfig, caches):
 
 def temporal_module_apply(
     p, x, cfg: ModelConfig,
-    cache_list: Optional[List[jnp.ndarray]] = None,
-) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    cache_list: Optional[List] = None,
+    want_kv: bool = False,
+) -> Tuple[jnp.ndarray, List]:
     """Apply one TemporalModule.
 
     x: (B, T, H, W, C).  When ``cache_list`` is given (streaming), T is the
-    number of NEW frames and each cache entry is (B*H*W, T_cache, C).
-    Returns (output (B, T, H, W, C), new_cache_list) where new_cache_list has
-    ``num_transformer_block * num_attention_blocks`` tensors of the pre-PE
-    hidden states for the new frames (reference motion_module.py:104-134).
+    number of NEW frames and each cache entry is (B*H*W, T_cache, C) pre-PE
+    hidden states (reference motion_module.py:104-134) or a (k, v) tuple of
+    pre-PE projections (``want_kv`` streaming fast path).  Returns
+    (output (B, T, H, W, C), new_cache_list) with
+    ``num_transformer_block * num_attention_blocks`` entries of the
+    matching kind for the new frames.
     """
     b, t, hh, ww, c = x.shape
     residual = x
@@ -242,7 +304,7 @@ def temporal_module_apply(
         caches = None
         if cache_list is not None:
             caches = cache_list[i * n_per:(i + 1) * n_per]
-        h, out_caches = _transformer_block(bp, h, cfg, caches)
+        h, out_caches = _transformer_block(bp, h, cfg, caches, want_kv=want_kv)
         all_caches.extend(out_caches)
 
     h = h.reshape(b, hh * ww, t, c).transpose(0, 2, 1, 3)
