@@ -123,6 +123,40 @@ def main():
         ms = slope(make, p, x)
         print(f"resize+island 518^2: {ms:.2f} ms  x2 = {2*ms:.1f}", flush=True)
 
+    if "oc2" in stages:
+        # output_conv1 as 9 shifted matmuls vs lax conv (113 TF/s measured)
+        p1 = jax.random.normal(key, (16, 296, 296, 256), jnp.bfloat16)
+        w = p["output_conv1"]["w"]   # (3,3,256,128)
+        bias = p["output_conv1"]["b"]
+
+        def conv9(p, x):
+            b_, h, ww_, ci = x.shape
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            acc = None
+            for u in range(3):
+                for v_ in range(3):
+                    t = jax.lax.dynamic_slice(
+                        xp, (0, u, v_, 0), (b_, h, ww_, ci))
+                    y = jnp.matmul(t, p["output_conv1"]["w"][u, v_].astype(x.dtype))
+                    acc = y if acc is None else acc + y
+            return acc + p["output_conv1"]["b"].astype(acc.dtype)
+
+        def mk(fn):
+            def make(k):
+                def f(p, x):
+                    out = None
+                    for _ in range(k):
+                        out = fn(p, x)
+                        x = feedback(x, out[0, 0, 0, 0])
+                    return out[0, :1, :1, :1]
+                return f
+            return make
+
+        ms = slope(mk(lambda p, x: dpt.conv2d(p["output_conv1"], x, padding=1)), p, p1)
+        print(f"oc lax conv: {ms:.2f} ms", flush=True)
+        ms = slope(mk(conv9), p, p1)
+        print(f"oc 9-matmul: {ms:.2f} ms", flush=True)
+
     if "island2" in stages:
         from vda_tpu.ops.layers import conv2d_3x3_s2d
         from vda_tpu.ops.resize import resize_bilinear_gather
@@ -227,6 +261,29 @@ def main():
                 return h[0, :1, :1]
             return f
         print(f"proj_in matmul: {slope(mk_proj, pm, h_seq):.2f} ms", flush=True)
+
+    if "tiles" in stages:
+        from vda_tpu.ops.pallas_attention import tiny_seq_attention
+        bd, t, c = 5476, 32, 256
+        key2 = jax.random.PRNGKey(1)
+        q = jax.random.normal(key2, (bd, t, c), jnp.bfloat16)
+        kk = jax.random.normal(key2, (bd, t, c), jnp.bfloat16)
+        vv = jax.random.normal(key2, (bd, t, c), jnp.bfloat16)
+
+        for rpt in (64, 128, 256, 512):
+            def make(k, rpt=rpt):
+                def f(_, args):
+                    q, kk, vv = args
+                    for _ in range(k):
+                        o = tiny_seq_attention(q, kk, vv, heads=8, seq=t,
+                                               scale=32 ** -0.5,
+                                               rows_per_tile=rpt)
+                        q = q + o[0, 0, 0] * 1e-12
+                    return q[0, :1, :1]
+                return f
+
+            ms = slope(make, None, (q, kk, vv))
+            print(f"tiny_seq rows_per_tile={rpt}: {ms:.2f} ms", flush=True)
 
     if "mm3" in stages:
         from vda_tpu.models.temporal import temporal_module_apply
