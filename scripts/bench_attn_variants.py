@@ -164,6 +164,9 @@ def main():
         "exp2_352": dict(mode="exp2", block_q=352),
         "mm352": dict(mode="matmul", block_q=352),
         "bq448": dict(block_q=448, np_len=1792),
+        "g8bq176": dict(g_heads=8, block_q=176),
+        "g8bq704": dict(g_heads=8, block_q=704),
+        "g8mm": dict(g_heads=8, block_q=352, mode="matmul"),
     }
     for name in variants:
         kw = specs[name]

@@ -182,14 +182,15 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
     if valid_len is None:
         valid_len = n
     np_len = -(-n // 128) * 128
-    # Tuning (v5e, ViT shape 32x1408x16x64, round 2): 4 q-blocks of 352 rows
-    # overlap the per-head softmax with the next block's matmuls — 75.7 TF/s
-    # vs 68.7 for 2x704 blocks and 63.1 for 8x176 (slope-measured on chip;
-    # matmul-only runs 87 TF/s, the dh=64 half-MXU ceiling territory).
+    # Tuning (v5e, ViT shape 32x1408x16x64, round 2): with 8-head (512-lane)
+    # groups, 8 q-blocks of 176 rows run 85.4 TF/s vs 70.9 for 4x352 —
+    # the smaller fp32 score tile (176x1408, <1 MB) overlaps the per-head
+    # softmax with the next block's matmuls; matmul-only measures 81.6,
+    # so this is at the dh=64 ceiling.
     if block_q is None:
         block_q = np_len
         if np_len > 768:
-            for div in (4, 2, 8, 16):
+            for div in (8, 4, 2, 16):
                 if np_len % div == 0 and (np_len // div) % 16 == 0 \
                         and (np_len // div) * np_len * 4 <= 4_200_000:
                     block_q = np_len // div
