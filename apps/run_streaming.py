@@ -22,7 +22,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--input_size", type=int, default=518)
     parser.add_argument("--max_res", type=int, default=1280)
     parser.add_argument("--encoder", type=str, default="vitl",
-                        choices=["vits", "vitb", "vitl"])
+                        choices=["vits", "vitb", "vitl", "tiny"])
     parser.add_argument("--max_len", type=int, default=-1)
     parser.add_argument("--target_fps", type=int, default=-1)
     parser.add_argument("--fp32", action="store_true")
@@ -31,6 +31,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--attn-impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--lookahead", type=int, default=1,
+                        help="frames per dispatch (>1 = throughput mode: "
+                             "batched encoder, identical outputs, up to "
+                             "<lookahead> frames of added latency)")
     return parser
 
 
@@ -65,12 +69,21 @@ def main(argv=None):
 
     # Pipelined loop: submit frame n+1 (async dispatch) BEFORE fetching frame
     # n's depth, overlapping host decode + device->host transfer with device
-    # compute; one frame in flight at a time bounds memory.
+    # compute; one frame (or one lookahead group) in flight bounds memory.
     depths = []
     pending = None
+    batch = []
     count = 0
     n_submitted = 0
     t0 = time.time()
+
+    def flush(handle):
+        nonlocal pending
+        if pending is not None:
+            d = np.asarray(pending)
+            depths.extend(d if d.ndim == 3 else [d])
+        pending = handle
+
     while True:
         ret, frame = cap.read()
         if not ret or (args.max_len > 0 and n_submitted >= args.max_len):
@@ -79,14 +92,18 @@ def main(argv=None):
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             if scale_needed:
                 frame = cv2.resize(frame, (width, height))
-            handle = stream.submit(frame)
             n_submitted += 1
-            if pending is not None:
-                depths.append(np.asarray(pending))
-            pending = handle
+            if args.lookahead <= 1 or n_submitted == 1:
+                flush(stream.submit(frame))  # frame 1 initializes the stream
+            else:
+                batch.append(frame)
+                if len(batch) == args.lookahead:
+                    flush(stream.submit_group(np.stack(batch)))
+                    batch = []
         count += 1
-    if pending is not None:
-        depths.append(np.asarray(pending))
+    for f in batch:  # leftover partial group: per-frame (static shapes)
+        flush(stream.submit(f))
+    flush(None)
     cap.release()
     wall = time.time() - t0
     print(f"{len(depths)} frames in {wall:.2f}s "

@@ -52,7 +52,7 @@ def synthetic_iter(batch: int, frames: int, size: int, seed: int = 0):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="VDA fine-tuning (TPU)")
     parser.add_argument("--encoder", default="vits",
-                        choices=["vits", "vitb", "vitl"])
+                        choices=["vits", "vitb", "vitl", "tiny"])
     parser.add_argument("--checkpoint", default=None,
                         help=".pth/.npz initial weights (default random)")
     parser.add_argument("--data-dir", default=None)

@@ -127,10 +127,28 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
     np.asarray(d[:1, :1])
     wall = _time.perf_counter() - t0
     ms = wall * 1000.0 / n_meas
-    return {
+    result = {
         "stream_ms_per_frame": round(ms, 3),
         "stream_fps": round(1000.0 / ms, 1),
     }
+
+    # throughput mode: k frames per dispatch (batched encoder, exact same
+    # outputs as sequential submits — infer/streaming.submit_group)
+    k = int(os.environ.get("VDA_BENCH_STREAM_GROUP", "4"))
+    if k > 1:
+        group = jnp.asarray(np.full((k, size, size, 3), 128, np.uint8))
+        for _ in range(2):
+            d = stream.submit_group(group)
+        np.asarray(d[:1, :1, :1])
+        t0 = _time.perf_counter()
+        for _ in range(max(n_meas // k, 2)):
+            d = stream.submit_group(group)
+        np.asarray(d[:1, :1, :1])
+        wall = _time.perf_counter() - t0
+        gms = wall * 1000.0 / (max(n_meas // k, 2) * k)
+        result[f"stream_group{k}_ms_per_frame"] = round(gms, 3)
+        result[f"stream_group{k}_fps"] = round(1000.0 / gms, 1)
+    return result
 
 
 if __name__ == "__main__":
