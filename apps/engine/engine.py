@@ -174,23 +174,62 @@ class VideoDepthEngine:
         last_err = None
         for i, s in enumerate(steps):
             def run(s=s):
+                params = self._params
+                attn_impl = "auto"
+                if s["cpu"]:
+                    # pin both the DATA and the kernel choice to the host:
+                    # default_device alone leaves TPU-committed params (and
+                    # the jit) on the TPU, and the Pallas dispatch predicates
+                    # test device presence, not placement
+                    params = jax.device_put(params, jax.devices("cpu")[0])
+                    attn_impl = "xla"
+
                 def call(fr):
-                    return infer(self._params, fr, fps, self._cfg,
+                    return infer(params, fr, fps, self._cfg,
                                  input_size=s["input_size"], fp32=s["fp32"],
-                                 micro_batch_size=s["micro_batch"])
+                                 micro_batch_size=s["micro_batch"],
+                                 attn_impl=attn_impl)
                 if s["chunked"]:
-                    # one window at a time bounds live HBM to a single
-                    # 32-frame window (reference's frame-by-frame analog;
-                    # whole windows keep the temporal attention context)
-                    parts = [call(frames[j:j + INFER_LEN])[0]
-                             for j in range(0, len(frames), INFER_LEN)]
-                    return np.concatenate(parts, axis=0), fps
+                    # One window at a time bounds live HBM to a single
+                    # 32-frame window (reference engine_backup.py:1010-1352
+                    # chunked analog).  Each chunk's depth is affine-ambiguous,
+                    # so chunks overlap by CHUNK_OVERLAP frames and each new
+                    # chunk is scale/shift-aligned to the previous one on the
+                    # shared frames (the same least-squares alignment the
+                    # windowed driver uses, infer/stitching.py).
+                    from vda_tpu.infer.stitching import compute_scale_and_shift
+
+                    ov = 4
+                    step = INFER_LEN - ov
+                    out = None
+                    for j in range(0, len(frames), step):
+                        part = call(frames[j:j + INFER_LEN])[0]
+                        if out is None:
+                            out = part
+                        else:
+                            shared = min(ov, len(out) - j, len(part))
+                            pred = part[:shared].reshape(-1)
+                            targ = out[j:j + shared].reshape(-1)
+                            scale, shift = compute_scale_and_shift(
+                                pred, targ, np.ones_like(pred))
+                            part = np.maximum(scale * part + shift, 0.0)
+                            out = np.concatenate([out[:j + shared],
+                                                  part[shared:]], axis=0)
+                        if len(out) >= len(frames):
+                            break
+                    return out[:len(frames)], fps
                 return call(frames)
 
             try:
                 if s["cpu"]:
-                    with jax.default_device(jax.devices("cpu")[0]):
-                        depths, out_fps = run()
+                    import os as _os
+
+                    _os.environ["VDA_DISABLE_PALLAS"] = "1"
+                    try:
+                        with jax.default_device(jax.devices("cpu")[0]):
+                            depths, out_fps = run()
+                    finally:
+                        _os.environ.pop("VDA_DISABLE_PALLAS", None)
                 else:
                     depths, out_fps = run()
                 if degraded:

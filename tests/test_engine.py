@@ -156,7 +156,7 @@ class TestProcessJob:
         calls = []
 
         def oom_infer(params, frames, fps, cfg, input_size=518, fp32=False,
-                      micro_batch_size=4):
+                      micro_batch_size=4, attn_impl="auto"):
             calls.append((input_size, len(frames)))
             if input_size > 224:
                 raise RuntimeError(
@@ -186,6 +186,77 @@ class TestProcessJob:
         meta = json.load(open(out_dir / "metadata.json"))
         assert meta["processing_degradation"] == [
             "requested", "conservative_384"]
+
+    def test_chunked_tier_aligns_across_chunks(self, tiny_engine, tmp_path):
+        """Chunked degradation runs infer per 32-frame chunk; each chunk's
+        depth is affine-ambiguous, so the ladder must scale/shift-align
+        chunks on their overlap frames (no depth-scale jumps at chunk
+        boundaries)."""
+        calls = []
+
+        def fake_infer(params, frames, fps, cfg, input_size=518, fp32=False,
+                       micro_batch_size=4, attn_impl="auto"):
+            calls.append(len(frames))
+            if input_size > 224:
+                raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+            # depth = affine-distorted view of the frame content, a different
+            # affine per call (the ambiguity the ladder must undo)
+            i = len(calls)
+            base = frames[..., 0].astype(np.float32)
+            return base * (2.0 ** i) + 3.0 * i, fps
+
+        tiny_engine._infer_fn = fake_infer
+        n = 36  # > INFER_LEN so the chunked tier needs 2 aligned chunks
+        rng = np.random.default_rng(1)
+        frames = (rng.random((n, 24, 32, 3)) * 255).astype(np.uint8)
+        depths, _fps, degraded = tiny_engine._infer_with_degradation(
+            frames, 24.0, input_size=518, fp32=False, micro_batch=4)
+        assert degraded == ["requested", "conservative_384"]
+        assert len(calls) >= 4 and all(c <= 32 for c in calls[2:])
+        assert depths.shape[0] == n
+        # every chunk must land in the FIRST chunk's affine frame: with the
+        # first chunked call being call #3, depth == base * 8 + 9 throughout
+        # (the second chunk arrived as base*16+12 and must be re-aligned)
+        expected = frames[..., 0].astype(np.float32) * 8.0 + 9.0
+        np.testing.assert_allclose(depths, expected, rtol=1e-4, atol=1e-2)
+
+    def test_cpu_tier_disables_pallas_and_uses_xla(self, tiny_engine,
+                                                   tmp_path):
+        """The last-resort CPU tier must force the XLA kernel paths: Pallas
+        dispatch predicates test TPU presence, not placement, and Mosaic
+        kernels don't lower for the CPU backend."""
+        seen = []
+
+        def fake_infer(params, frames, fps, cfg, input_size=518, fp32=False,
+                       micro_batch_size=4, attn_impl="auto"):
+            seen.append((input_size,
+                         os.environ.get("VDA_DISABLE_PALLAS"), attn_impl))
+            if len(seen) < 4:  # OOM through every non-CPU tier
+                raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+            h, w = frames.shape[1:3]
+            return np.ones((len(frames), h, w), np.float32), fps
+
+        tiny_engine._infer_fn = fake_infer
+        template = _write_sequence(tmp_path, n=3)
+        result = tiny_engine.process_job({
+            "input_video": template,
+            "exr_output_dir": str(tmp_path / "o2"),
+            "first_frame": 1,
+            "last_frame": 3,
+            "encoder": "tiny",
+            "video_depth_anything_checkpoint": "none.pth",
+            "input_size": 518,
+        })
+        assert result["status"] == "success", result
+        assert result["degraded"] == ["requested", "conservative_384",
+                                      "chunked_224"]
+        # the first three tiers run with pallas enabled, the CPU tier with
+        # the kill-switch set and the xla attention impl
+        assert seen[:3] == [(518, None, "auto"), (384, None, "auto"),
+                            (224, None, "auto")]
+        assert seen[3] == (224, "1", "xla")
+        # and the kill-switch is restored afterwards
+        assert os.environ.get("VDA_DISABLE_PALLAS") is None
 
     def test_non_oom_errors_not_retried(self, tiny_engine, tmp_path):
         """A non-OOM failure must surface immediately, not walk the ladder."""

@@ -256,22 +256,30 @@ class StreamingDepth:
                 "submit_group")
         k = len(frames)
         assert frames.shape[1:3] == self.out_hw, "frame size changed mid-stream"
+        # simulate the k steps of bookkeeping on COPIES and commit only after
+        # the dispatch succeeds — a failed compile/trace must not leave the
+        # stream with advanced order/free but unwritten buffers
+        sim_id, order, free = self.id, list(self.order), list(self.free)
         ctx_rows, write_rows = [], []
         for _ in range(k):
-            self.id += 1
-            ctx = self.order[0:2] + self.order[-(INFER_LEN - 3):]
+            sim_id += 1
+            ctx = order[0:2] + order[-(INFER_LEN - 3):]
             assert len(ctx) == _CTX
-            wp = self.free.pop(0)
+            wp = free.pop(0)
             ctx_rows.append(ctx)
             write_rows.append(wp)
-            self.order.append(wp)
-            self._slide()
+            order.append(wp)
+            if sim_id + INFER_LEN > STREAM_GAP + 1:
+                evicted = order.pop(1)
+                if evicted not in order:
+                    free.append(evicted)
         depths, self.buffers = _stream_step_group(
             self.params, jnp.asarray(frames), self.buffers,
             jnp.asarray(ctx_rows, jnp.int32),
             jnp.asarray(write_rows, jnp.int32),
             self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
             self.cache_kind, k)
+        self.id, self.order, self.free = sim_id, order, free
         return depths
 
     def _slide(self):

@@ -140,10 +140,18 @@ def infer_video_depth(
     # async; only np.asarray blocks).  At most two batches are in flight,
     # bounding HBM regardless of video length.
     depth_batches = []
+    done_windows = 0
     pending = None  # (device depths, n_valid windows)
 
     def _fetch(dev, n_valid):
+        nonlocal done_windows
         depth_batches.append(np.asarray(dev[:n_valid]).astype(np.float32))
+        # progress counts FETCHED (host-complete) windows, not async
+        # dispatches — with double buffering a dispatched batch may still be
+        # computing when the next one is enqueued
+        done_windows += n_valid
+        if progress is not None:
+            progress(done_windows, n_windows)
 
     for start in range(0, n_windows, wb):
         batch_idx = idx[start:start + wb]
@@ -160,8 +168,6 @@ def infer_video_depth(
         if pending is not None:
             _fetch(*pending)
         pending = (d, n_valid)
-        if progress is not None:
-            progress(min(start + wb, n_windows), n_windows)
     if pending is not None:
         _fetch(*pending)
 

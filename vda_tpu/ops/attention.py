@@ -26,6 +26,17 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
+    """True when Pallas TPU kernels should be used.
+
+    VDA_DISABLE_PALLAS=1 forces the XLA paths even with a TPU present —
+    needed when computation is deliberately placed on the host CPU (the
+    engine's cpu_fallback tier): this predicate tests device PRESENCE, not
+    placement, and Mosaic kernels don't lower for the CPU backend.
+    """
+    import os
+
+    if os.environ.get("VDA_DISABLE_PALLAS", "0") == "1":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:

@@ -55,8 +55,8 @@ def layer_norm(p, x, eps: float = 1e-6):
     XLA materializes fp32 intermediates and runs ~10x off the bandwidth floor.
     """
     from vda_tpu.ops.attention import _on_tpu
-    if _on_tpu() and x.ndim >= 2 and x.shape[-1] % 128 == 0 \
-            and x.shape[-1] <= 8192:
+    from vda_tpu.ops.pallas_norm import ln_supported
+    if _on_tpu() and ln_supported(x):
         from vda_tpu.ops.pallas_norm import fused_layer_norm
         return fused_layer_norm(x, p["scale"], p["bias"], eps)
     dtype = x.dtype

@@ -43,8 +43,13 @@ def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-def _ln_2d(x2d, scale, bias, eps: float, block_rows: int = 512):
+def _ln_2d(x2d, scale, bias, eps: float, block_rows: int | None = None):
     r, c = x2d.shape
+    if block_rows is None:
+        # per-tile fp32 working set is ~3 live copies (upcast, centered,
+        # output); keep 3 * rows * C * 4 under ~6.3 MB of the 16 MB VMEM
+        # stack (C=1024 -> 512 rows, C=4096 -> 128, C=8192 -> 64)
+        block_rows = max(8, min(512, 6_300_000 // (c * 12) // 8 * 8))
     br = min(block_rows, r)
     kernel = functools.partial(_ln_kernel, eps=eps)
     return pl.pallas_call(

@@ -131,9 +131,13 @@ def _lerp_axis(x, axis: int, out_size: int, align_corners: bool, scale):
 
 def resize_bilinear_gather(x, out_hw, align_corners: bool = True, scale=None):
     """Two-tap gather/lerp bilinear resize — identical math to
-    ``resize_bilinear`` but O(2) taps per output instead of a dense (out, in)
-    contraction.  Wins for large upsamplings where the dense matmul pays
-    in_size MACs per output (e.g. the 296->518 island resize)."""
+    ``resize_bilinear``.
+
+    MEASURED DEAD END on TPU (CLAUDE.md perf log): XLA lowers the jnp.take
+    gathers to a scalar loop, ~4x slower than the dense matmul form at the
+    296->518 island shape, so no product path uses this.  Kept as the
+    equivalence-tested reference for the gather formulation (useful on
+    backends with fast gathers)."""
     oh, ow = out_hw
     sh, sw = (scale if scale is not None else (None, None))
     dtype = x.dtype
