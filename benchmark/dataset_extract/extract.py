@@ -68,6 +68,12 @@ def extract_bonn(root, depth_root, saved_dir, dataset_name="bonn"):
 
 
 def extract_sintel(root, depth_root, saved_dir, dataset_name="sintel"):
+    """NOTE: the reference extractor (dataset_extract_sintel.py:76-96) writes
+    a type-major layout (sintel/clean/<scene>/, sintel/depth/<scene>/) that
+    its own gen_json (eval_utils.py:37-48, scene-major glob) cannot read —
+    it would emit empty manifests.  This rebuild writes the scene-major
+    canonical layout (<scene>/clean/, <scene>/depth/) that gen_json and the
+    eval pipeline actually consume."""
     import cv2
     from PIL import Image
 
@@ -76,9 +82,9 @@ def extract_sintel(root, depth_root, saved_dir, dataset_name="sintel"):
             depth = u.read_sintel_dpt(
                 osp.join(depth_root, seq_name, img_name[:-3] + "dpt"))
             img = np.array(Image.open(osp.join(root, seq_name, img_name)))
-            out_img = osp.join(saved_dir, dataset_name, "clean", seq_name,
+            out_img = osp.join(saved_dir, dataset_name, seq_name, "clean",
                                img_name)
-            out_dep = osp.join(saved_dir, dataset_name, "depth", seq_name,
+            out_dep = osp.join(saved_dir, dataset_name, seq_name, "depth",
                                img_name[:-3] + "png")
             os.makedirs(osp.dirname(out_img), exist_ok=True)
             os.makedirs(osp.dirname(out_dep), exist_ok=True)
