@@ -83,6 +83,36 @@ def main():
         "attn_impl": attn_impl,
     }
 
+    # Opt-in int8 encoder path (Pallas int8 MXU matmuls, ops/quant.py) —
+    # reported as an EXTRA row; the headline stays bf16 because int8 depth
+    # accuracy is not yet validated against real checkpoints.
+    if os.environ.get("VDA_BENCH_QUANT", "int8") == "int8":
+        try:
+            params_q = cast_params_for_inference(
+                init_video_depth_anything(jax.random.PRNGKey(0), cfg),
+                quant="int8")
+
+            @jax.jit
+            def step_q(params, x):
+                return forward(params, x, cfg, attn_impl=attn_impl,
+                               micro_batch_size=16)
+
+            sync(step_q(params_q, x))
+            sync(step_q(params_q, x))
+            tq = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(chain):
+                    out = step_q(params_q, x)
+                sync(out)
+                tq.append((time.perf_counter() - t0) / chain)
+            tq.sort()
+            result["int8_ms_per_frame"] = round(
+                tq[len(tq) // 2] * 1000.0 / t, 3)
+        except Exception as e:  # noqa: BLE001
+            result["int8_error"] = f"{type(e).__name__}: {e}"
+
     # Streaming (causal, frame-by-frame) measurement — same chip, pipelined
     # submit/fetch, steady state past the eviction threshold.  Gated (default
     # ON) so the driver's BENCH record always carries the streaming number.

@@ -40,7 +40,15 @@ def gelu(x):
 
 
 def linear(p, x, precision=None):
-    """x @ w + b.  w: (in, out); b optional."""
+    """x @ w + b.  w: (in, out); b optional.
+
+    Params carrying int8-quantized weights ({"w_q", "w_s"} from
+    utils.convert.cast_params_for_inference(quant="int8")) dispatch to the
+    Pallas int8 path (ops/quant.py) — ~2x MXU rate, opt-in only.
+    """
+    if "w_q" in p:
+        from vda_tpu.ops.quant import int8_linear
+        return int8_linear(p, x)
     y = jnp.matmul(x, p["w"].astype(x.dtype), precision=precision)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
