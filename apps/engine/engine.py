@@ -224,12 +224,17 @@ class VideoDepthEngine:
                 if s["cpu"]:
                     import os as _os
 
+                    prev = _os.environ.get("VDA_DISABLE_PALLAS")
                     _os.environ["VDA_DISABLE_PALLAS"] = "1"
                     try:
                         with jax.default_device(jax.devices("cpu")[0]):
                             depths, out_fps = run()
                     finally:
-                        _os.environ.pop("VDA_DISABLE_PALLAS", None)
+                        # restore the USER'S value, don't clobber it
+                        if prev is None:
+                            _os.environ.pop("VDA_DISABLE_PALLAS", None)
+                        else:
+                            _os.environ["VDA_DISABLE_PALLAS"] = prev
                 else:
                     depths, out_fps = run()
                 if degraded:

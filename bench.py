@@ -84,9 +84,11 @@ def main():
     }
 
     # Opt-in int8 encoder path (Pallas int8 MXU matmuls, ops/quant.py) —
-    # reported as an EXTRA row; the headline stays bf16 because int8 depth
-    # accuracy is not yet validated against real checkpoints.
-    if os.environ.get("VDA_BENCH_QUANT", "int8") == "int8":
+    # reported as an EXTRA row when VDA_BENCH_QUANT=int8 is set.  Off by
+    # default: it costs a second full vitl compile (1-4 min cold), and the
+    # path is opt-in until real-checkpoint accuracy validation.  Measured
+    # (warm cache): 11.36 vs 11.46 ms/frame bf16.
+    if os.environ.get("VDA_BENCH_QUANT", "") == "int8":
         try:
             params_q = cast_params_for_inference(
                 init_video_depth_anything(jax.random.PRNGKey(0), cfg),

@@ -77,9 +77,51 @@ def test_int8_pipeline_close_to_bf16():
     assert d1 >= 0.99, f"int8-vs-bf16 pipeline δ1 = {d1:.4f}"
 
 
+def test_int8_params_fall_back_without_mosaic(monkeypatch):
+    """Quantized params must still run where no Mosaic backend exists
+    (plain CPU, or VDA_DISABLE_PALLAS=1): linear() dequantizes and takes
+    the XLA matmul path instead of crashing in pallas lowering."""
+    from vda_tpu.ops.layers import linear
+
+    monkeypatch.delenv("VDA_PALLAS_INTERPRET", raising=False)
+    # this machine HAS a (tunneled) TPU plugin, so force the no-Mosaic case
+    monkeypatch.setenv("VDA_DISABLE_PALLAS", "1")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 17, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.float32)
+    wq, ws = quantize_weight(w)
+    y = np.asarray(linear({"w_q": wq, "w_s": ws}, x))
+    ref = np.asarray(x @ w)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-2
+
+
+def test_pallas_killswitch_is_live(monkeypatch):
+    """VDA_DISABLE_PALLAS must take effect mid-process: the device probe is
+    cached, the env check must NOT be (regression: the check was originally
+    inside the lru_cache, making the engine CPU tier's kill-switch a no-op
+    after any earlier TPU-tier trace)."""
+    from vda_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_tpu_present", lambda: True)
+    monkeypatch.delenv("VDA_DISABLE_PALLAS", raising=False)
+    assert A._on_tpu() is True
+    monkeypatch.setenv("VDA_DISABLE_PALLAS", "1")
+    assert A._on_tpu() is False
+    monkeypatch.delenv("VDA_DISABLE_PALLAS", raising=False)
+    assert A._on_tpu() is True
+
+
 def test_head_params_never_quantized():
-    cfg = get_config("tiny")
+    # must use a lane-aligned width or NOTHING quantizes and the test is
+    # vacuous (embed 64 fails the %128 guard)
+    from vda_tpu.config import EncoderConfig, ModelConfig
+
+    vit = EncoderConfig(embed_dim=128, depth=2, num_heads=2, img_size=56)
+    cfg = ModelConfig("tiny128", 32, (32, 32, 32, 32), (0, 0, 1, 1), vit,
+                      num_frames=4)
     params = init_video_depth_anything(jax.random.PRNGKey(2), cfg)
     p_q = cast_params_for_inference(params, quant="int8")
-    leaves = jax.tree_util.tree_leaves(p_q["head"])
-    assert all(l.dtype != jnp.int8 for l in leaves)
+    enc_leaves = jax.tree_util.tree_leaves(p_q["pretrained"])
+    assert any(l.dtype == jnp.int8 for l in enc_leaves)  # quantizer engaged
+    head_leaves = jax.tree_util.tree_leaves(p_q["head"])
+    assert all(l.dtype != jnp.int8 for l in head_leaves)

@@ -25,22 +25,28 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=1)
+def _tpu_present() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _on_tpu() -> bool:
     """True when Pallas TPU kernels should be used.
 
     VDA_DISABLE_PALLAS=1 forces the XLA paths even with a TPU present —
     needed when computation is deliberately placed on the host CPU (the
     engine's cpu_fallback tier): this predicate tests device PRESENCE, not
-    placement, and Mosaic kernels don't lower for the CPU backend.
+    placement, and Mosaic kernels don't lower for the CPU backend.  The env
+    check is deliberately OUTSIDE the cached device probe so flipping the
+    variable mid-process (the ladder does) takes effect immediately.
     """
     import os
 
     if os.environ.get("VDA_DISABLE_PALLAS", "0") == "1":
         return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return _tpu_present()
 
 
 def _xla_attention(q, k, v, scale: float):

@@ -47,8 +47,15 @@ def linear(p, x, precision=None):
     Pallas int8 path (ops/quant.py) — ~2x MXU rate, opt-in only.
     """
     if "w_q" in p:
-        from vda_tpu.ops.quant import int8_linear
-        return int8_linear(p, x)
+        from vda_tpu.ops.attention import _on_tpu
+        from vda_tpu.ops.quant import int8_linear, interpret_mode
+        if _on_tpu() or interpret_mode():
+            return int8_linear(p, x)
+        # no Mosaic backend: dequantize and take the plain matmul path
+        w = (p["w_q"].astype(jnp.float32)
+             * p["w_s"][None, :]).astype(x.dtype)
+        y = jnp.matmul(x, w, precision=precision)
+        return y + p["b"].astype(y.dtype) if "b" in p else y
     y = jnp.matmul(x, p["w"].astype(x.dtype), precision=precision)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)

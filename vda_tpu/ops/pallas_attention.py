@@ -440,7 +440,11 @@ def segment_attention(q, k, v, heads: int, scale: float, segment_lengths):
     binned = [jnp.take(t, gather_idx, axis=0, mode="fill", fill_value=0)
               for t in (q, k, v)]
 
-    g_heads = _pick_head_group(heads, d)  # shared policy with the qkv kernel
+    # 256-lane cap here, NOT the qkv kernel's 512: this kernel has no
+    # q-blocking — each grid cell holds the whole (cap, cap) fp32 score tile
+    # per unrolled head, and doubling the group doubles the live tiles
+    # against the 16 MB VMEM stack (CLAUDE.md)
+    g_heads = _pick_head_group(heads, d, max_width=256)
     gw = g_heads * d
     n_groups = hd // gw
 

@@ -36,8 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _interpret() -> bool:
+def interpret_mode() -> bool:
     return os.environ.get("VDA_PALLAS_INTERPRET", "0") == "1"
+
+
+_interpret = interpret_mode
 
 
 def quantize_weight(w):
