@@ -54,6 +54,23 @@ def test_window_batch_matches_sequential(tiny_setup, tiny_cfg):
     np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-5)
 
 
+def test_progress_reports_fetched_windows(tiny_setup, tiny_cfg):
+    """progress() must count host-complete (fetched) windows, monotonic and
+    ending at n/n — not async dispatches (the double-buffered driver
+    enqueues batch n+1 before batch n's fetch)."""
+    params, frames = tiny_setup
+    calls = []
+    infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                      fp32=True, progress=lambda i, n: calls.append((i, n)))
+    assert calls, "progress never called"
+    ns = {n for _, n in calls}
+    assert len(ns) == 1
+    n = ns.pop()
+    seq = [i for i, _ in calls]
+    assert seq == sorted(seq) and seq[-1] == n
+    assert all(0 < i <= n for i in seq)
+
+
 def test_bf16_pipeline_close_to_fp32(tiny_setup, tiny_cfg):
     """The bf16 inference path (bf16 compute + fp16 depth transfer) must stay
     within bf16 noise of the fp32 path end-to-end through stitching."""
