@@ -32,6 +32,7 @@ import json
 import logging
 import os
 import sys
+import threading
 import time
 import traceback
 from typing import Dict, Optional
@@ -136,12 +137,30 @@ class VideoDepthEngine:
             "RESOURCE_EXHAUSTED", "RESOURCE EXHAUSTED", "out of memory",
             "OutOfMemory", "Ran out of memory"))
 
+    # The cpu_fallback tier toggles the process-global VDA_DISABLE_PALLAS
+    # env var, which layer_norm/linear read at TRACE time — a concurrent
+    # TPU-tier job tracing at that moment would silently lose its Pallas
+    # kernels.  The engine is single-job-at-a-time by design (the daemon
+    # polls the queue serially); this lock enforces that invariant for any
+    # future threaded embedding of _infer_with_degradation.
+    _infer_lock = threading.Lock()
+
     def _infer_with_degradation(self, frames, fps, input_size: int,
                                 fp32: bool, micro_batch: int):
         """Accelerator-OOM degradation ladder (reference
         engine_backup.py:1010-1352): retry the job at the next-smaller
         strategy tier, then window-chunked at the smallest size, then on the
-        host CPU.  Returns (depths, fps, degraded_steps)."""
+        host CPU.  Returns (depths, fps, degraded_steps).
+
+        Serialized process-wide (see ``_infer_lock``): the CPU tier's pallas
+        kill-switch is env-based and must not overlap another job's trace.
+        """
+        with type(self)._infer_lock:
+            return self._infer_with_degradation_locked(
+                frames, fps, input_size, fp32, micro_batch)
+
+    def _infer_with_degradation_locked(self, frames, fps, input_size: int,
+                                       fp32: bool, micro_batch: int):
         import jax
 
         from vda_tpu.config import INFER_LEN

@@ -98,6 +98,13 @@ MODEL_CONFIGS = {
     "vits": ModelConfig("vits", 64, (48, 96, 192, 384), (2, 5, 8, 11), _VIT["vits"]),
     "vitb": ModelConfig("vitb", 128, (96, 192, 384, 768), (2, 5, 8, 11), _VIT["vitb"]),
     "vitl": ModelConfig("vitl", 256, (256, 512, 1024, 1024), (4, 11, 17, 23), _VIT["vitl"]),
+    # vitg: the reference factory builds the encoder (dinov2.py:381-414,
+    # swiglufused FFN) but ships NO head config or checkpoint for it; the
+    # head constants here follow the Depth-Anything-family giant convention
+    # (features 384, four 1536-channel taps at layers 9/19/29/39) so a vitg
+    # checkpoint converts and runs the day one exists
+    "vitg": ModelConfig("vitg", 384, (1536, 1536, 1536, 1536), (9, 19, 29, 39),
+                        _VIT["vitg"]),
     # development/demo size (no reference counterpart): seconds-fast CPU
     # compiles for tests, the stubbed demo, and docs examples
     "tiny": ModelConfig(

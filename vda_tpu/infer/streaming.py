@@ -151,6 +151,33 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
     return jnp.stack(depths), buffers
 
 
+def _advance_bookkeeping(step_id: int, order: List[int], free: List[int]):
+    """ONE step of the cache bookkeeping, mutating ``order``/``free``.
+
+    Returns (ctx, write_pos) for the step numbered ``step_id`` (0-based frame
+    id; the first call after init is id 1).  This is the single source of
+    truth for the reference's frame_cache_list protocol
+    (video_depth_stream.py:134-160): context = entries [0:2] + the most
+    recent INFER_LEN-3, the new row is appended, and entry 1 is evicted once
+    the window has slid past STREAM_GAP.  Both ``submit``/``_slide`` and the
+    ``submit_group`` simulation call this — they cannot drift apart.
+    """
+    ctx = order[0:2] + order[-(INFER_LEN - 3):]
+    assert len(ctx) == _CTX
+    wp = free.pop(0)
+    order.append(wp)
+    _evict(step_id, order, free)
+    return ctx, wp
+
+
+def _evict(step_id: int, order: List[int], free: List[int]):
+    """Eviction rule (reference video_depth_stream.py:155-160)."""
+    if step_id + INFER_LEN > STREAM_GAP + 1:
+        evicted = order.pop(1)
+        if evicted not in order:
+            free.append(evicted)
+
+
 class StreamingDepth:
     """Stateful frame-by-frame depth estimator (reference
     video_depth_stream.py:32-161 ``infer_video_depth_one``)."""
@@ -219,17 +246,16 @@ class StreamingDepth:
             return depth
 
         assert frame.shape[:2] == self.out_hw, "frame size changed mid-stream"
-        ctx = self.order[0:2] + self.order[-(INFER_LEN - 3):]
-        assert len(ctx) == _CTX
-        write_pos = self.free[0]
+        # bookkeeping on COPIES, committed only after the dispatch succeeds —
+        # a failed trace/compile must not advance order/free past the buffers
+        order, free = list(self.order), list(self.free)
+        ctx, write_pos = _advance_bookkeeping(self.id, order, free)
         depth, self.buffers = _stream_step(
             self.params, jnp.asarray(frame), self.buffers,
             jnp.asarray(ctx, jnp.int32), jnp.int32(write_pos),
             self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
             self.cache_kind)
-        self.free.pop(0)
-        self.order.append(write_pos)
-        self._slide()
+        self.order, self.free = order, free
         return depth
 
     def submit_group(self, frames: "np.ndarray") -> jax.Array:
@@ -263,16 +289,9 @@ class StreamingDepth:
         ctx_rows, write_rows = [], []
         for _ in range(k):
             sim_id += 1
-            ctx = order[0:2] + order[-(INFER_LEN - 3):]
-            assert len(ctx) == _CTX
-            wp = free.pop(0)
+            ctx, wp = _advance_bookkeeping(sim_id, order, free)
             ctx_rows.append(ctx)
             write_rows.append(wp)
-            order.append(wp)
-            if sim_id + INFER_LEN > STREAM_GAP + 1:
-                evicted = order.pop(1)
-                if evicted not in order:
-                    free.append(evicted)
         depths, self.buffers = _stream_step_group(
             self.params, jnp.asarray(frames), self.buffers,
             jnp.asarray(ctx_rows, jnp.int32),
@@ -283,8 +302,5 @@ class StreamingDepth:
         return depths
 
     def _slide(self):
-        """Eviction rule (reference video_depth_stream.py:155-160)."""
-        if self.id + INFER_LEN > STREAM_GAP + 1:
-            evicted = self.order.pop(1)
-            if evicted not in self.order:
-                self.free.append(evicted)
+        """Eviction after the first-frame init (shared rule: ``_evict``)."""
+        _evict(self.id, self.order, self.free)

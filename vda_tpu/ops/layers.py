@@ -42,20 +42,12 @@ def gelu(x):
 def linear(p, x, precision=None):
     """x @ w + b.  w: (in, out); b optional.
 
-    Params carrying int8-quantized weights ({"w_q", "w_s"} from
-    utils.convert.cast_params_for_inference(quant="int8")) dispatch to the
-    Pallas int8 path (ops/quant.py) — ~2x MXU rate, opt-in only.
+    Deliberately has NO quantized-weight dispatch: the Pallas int8 path
+    (ops/quant.py) measured only ~0.9% end-to-end at vitl with accuracy
+    unvalidated on real weights, so it was demoted out of this hot path
+    (round-3 decision; see ops/quant.py and scripts/bench_int8_pallas.py
+    for the kernel and the measured result).
     """
-    if "w_q" in p:
-        from vda_tpu.ops.attention import _on_tpu
-        from vda_tpu.ops.quant import int8_linear, interpret_mode
-        if _on_tpu() or interpret_mode():
-            return int8_linear(p, x)
-        # no Mosaic backend: dequantize and take the plain matmul path
-        w = (p["w_q"].astype(jnp.float32)
-             * p["w_s"][None, :]).astype(x.dtype)
-        y = jnp.matmul(x, w, precision=precision)
-        return y + p["b"].astype(y.dtype) if "b" in p else y
     y = jnp.matmul(x, p["w"].astype(x.dtype), precision=precision)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)

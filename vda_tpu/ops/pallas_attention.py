@@ -203,6 +203,12 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
                         and (np_len // div) * np_len * 4 <= 4_200_000:
                     block_q = np_len // div
                     break
+            else:
+                # no divisor fits the score-tile budget (e.g. np_len 4480 at
+                # input_size ~900): degrade to 128 rows (always divides the
+                # 128-padded np_len) instead of a full (N, N) fp32 tile that
+                # blows the 16 MB VMEM stack at compile time
+                block_q = 128
     block_q = min(block_q, np_len)
     if np_len % block_q:
         block_q = 128

@@ -69,7 +69,14 @@ def _int8_matmul(xq, wq, sx, sw, b, out_dtype):
     # keep x/w blocks (double-buffered) well inside VMEM for K up to 4096
     bn = max(512, 1024 // max(k // 2048, 1))
     if n % bn:
-        bn = n
+        # pick the largest 128-multiple divisor of n under the VMEM budget
+        # instead of falling back to the full width (a (k, n) single block
+        # compile-fails or OOMs VMEM on large unaligned n)
+        divisors = [d for d in range(bn, 0, -128) if n % d == 0]
+        if not divisors:
+            raise ValueError(
+                f"int8_linear needs a 128-aligned output width, got n={n}")
+        bn = divisors[0]
     out = pl.pallas_call(
         _kernel,
         grid=(m // bm, n // bn),

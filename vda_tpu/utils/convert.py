@@ -232,17 +232,16 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig):
     return convert_state_dict(sd, cfg)
 
 
-def cast_params_for_inference(params, dtype="bfloat16", quant=None):
+def cast_params_for_inference(params, dtype="bfloat16"):
     """Cast weights to the compute dtype once, halving HBM weight traffic.
 
     The fp32 output-conv island (reference dpt_temporal.py:105-108) keeps its
     weights in fp32; everything else is stored in `dtype`.
 
-    quant="int8" (OPT-IN, no reference counterpart) additionally replaces the
-    encoder block linears (qkv/proj and the MLP projections — the bulk of
-    the window FLOPs) with symmetric per-channel int8 weights consumed by
-    the Pallas int8 matmul (ops/quant.py, ~2x MXU rate).  End-to-end depth
-    accuracy is unvalidated against real checkpoints; see ops/quant.py.
+    (An int8 encoder-weight option lived here through round 2; it was demoted
+    — the Pallas int8 matmul is ~1.8x standalone but only ~0.9% end-to-end at
+    vitl, with accuracy unvalidatable offline.  The kernel remains in
+    ops/quant.py with scripts/bench_int8_pallas.py as the measured result.)
     """
     import jax
     import jax.numpy as jnp
@@ -261,24 +260,7 @@ def cast_params_for_inference(params, dtype="bfloat16", quant=None):
             return leaf
         return leaf.astype(target) if hasattr(leaf, "astype") else leaf
 
-    out = jax.tree_util.tree_map_with_path(cast, params)
-    if quant == "int8" and isinstance(out, dict) and "pretrained" in out:
-        from vda_tpu.ops.quant import quantize_weight
-
-        def q(p):
-            w = p.pop("w")
-            if w.shape[0] % 128 or w.shape[1] % 128:
-                p["w"] = w  # lane-unaligned: keep the bf16 path
-                return
-            p["w_q"], p["w_s"] = quantize_weight(w)
-
-        for bp in out["pretrained"]["blocks"]:
-            q(bp["attn"]["qkv"])
-            q(bp["attn"]["proj"])
-            for name in ("fc1", "fc2", "w12", "w3"):
-                if name in bp["mlp"]:
-                    q(bp["mlp"][name])
-    return out
+    return jax.tree_util.tree_map_with_path(cast, params)
 
 
 def save_params_npz(path: str, params):
