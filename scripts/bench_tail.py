@@ -197,6 +197,28 @@ def main():
             ms = slope(variant, p, x)
             print(f"island [{name}]: {ms:.2f} ms  x2 = {2*ms:.1f}", flush=True)
 
+    if "ocs2d" in stages:
+        # output_conv1 (3x3, 256->128, 296^2) in s2d form vs plain lax conv
+        from vda_tpu.ops.layers import conv2d_3x3_s2d
+        p1 = jax.random.normal(key, (16, 296, 296, 256), jnp.bfloat16)
+
+        def mk(fn):
+            def make(k):
+                def f(p, x):
+                    out = None
+                    for _ in range(k):
+                        out = fn(p, x)
+                        x = feedback(x, out[0, 0, 0, 0])
+                    return out[0, :1, :1, :1]
+                return f
+            return make
+
+        ms = slope(mk(lambda p, x: dpt.conv2d(p["output_conv1"], x,
+                                              padding=1)), p, p1)
+        print(f"output_conv1 lax conv: {ms:.2f} ms  x2 = {2*ms:.1f}", flush=True)
+        ms = slope(mk(lambda p, x: conv2d_3x3_s2d(p["output_conv1"], x)), p, p1)
+        print(f"output_conv1 s2d form: {ms:.2f} ms  x2 = {2*ms:.1f}", flush=True)
+
     if "mm3parts" in stages:
         from vda_tpu.models import temporal as T
         from vda_tpu.ops.layers import group_norm, layer_norm, linear
@@ -299,6 +321,27 @@ def main():
 
         ms = slope(make, pm, x)
         print(f"mm3 fused-qkv: {ms:.2f} ms", flush=True)
+
+    if "mm3f" in stages:
+        from vda_tpu.models.temporal import temporal_module_apply
+        import vda_tpu.ops.pallas_temporal as PT
+        x = jax.random.normal(key, (1, 32, 74, 74, 256), jnp.bfloat16)
+        pm = p["motion_modules"][3]
+
+        for rpt in ([int(a) for a in sys.argv[2:] if a.isdigit()] or [512]):
+            PT._RPT_OVERRIDE = rpt
+
+            def make(k):
+                def f(pm, x):
+                    for _ in range(k):
+                        x, _ = temporal_module_apply(pm, x, cfg, None,
+                                                     need_caches=False)
+                    return x[0, 0, :1, :1, :1]
+                return f
+
+            ms = slope(make, pm, x)
+            print(f"mm3 FUSED-BLOCK kernel (rpt={rpt}): {ms:.2f} ms",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -210,13 +210,15 @@ def dpt_head_spatial_apply(p, features, patch_hw):
     return _output_tail(p, path_3, l2, l1, (ph * 14, pw * 14))
 
 
-def _with_temporal(p_mm, x, cfg, frame_length, cache, want_kv=False):
+def _with_temporal(p_mm, x, cfg, frame_length, cache, want_kv=False,
+                   need_caches=True):
     """Run a TemporalModule on (B*T, h, w, C) features."""
     bt, hh, ww, c = x.shape
     b = bt // frame_length
     xt = x.reshape(b, frame_length, hh, ww, c)
     yt, new_cache = temporal_module_apply(p_mm, xt, cfg, cache,
-                                          want_kv=want_kv)
+                                          want_kv=want_kv,
+                                          need_caches=need_caches)
     return yt.reshape(bt, hh, ww, c), new_cache
 
 
@@ -229,6 +231,7 @@ def dpt_head_temporal_apply(
     cached_hidden_state_list: Optional[List] = None,
     micro_batch_size: int = 4,
     cache_kind: str = "h",
+    need_caches: bool = True,
 ):
     """DPTHeadTemporal forward (reference dpt_temporal.py:53-125).
 
@@ -239,7 +242,9 @@ def dpt_head_temporal_apply(
     cache_kind: "h" returns/consumes pre-PE hidden states (the reference's
     cache, dpt_temporal.py:74-93); "kv" returns/consumes (k, v) pre-PE
     projection tuples (streaming fast path, models/temporal.py
-    ``_temporal_attention_kv``).
+    ``_temporal_attention_kv``).  need_caches=False (offline windows, where
+    the caller discards the cache) unlocks the fused temporal-block kernel
+    and returns an empty cache list.
     """
     ph, pw = patch_hw
     n_mm = len(p["motion_modules"])
@@ -256,9 +261,11 @@ def dpt_head_temporal_apply(
 
     want_kv = cache_kind == "kv"
     layer_3, h0 = _with_temporal(p["motion_modules"][0], layer_3, cfg,
-                                 frame_length, cache_slice(0), want_kv)
+                                 frame_length, cache_slice(0), want_kv,
+                                 need_caches)
     layer_4, h1 = _with_temporal(p["motion_modules"][1], layer_4, cfg,
-                                 frame_length, cache_slice(1), want_kv)
+                                 frame_length, cache_slice(1), want_kv,
+                                 need_caches)
 
     l1 = conv2d(p["scratch"]["layer1_rn"], layer_1, padding=1)
     l2 = conv2d(p["scratch"]["layer2_rn"], layer_2, padding=1)
@@ -267,10 +274,12 @@ def dpt_head_temporal_apply(
 
     path_4 = _fusion(p["refinenet4"], l4, size=l3.shape[1:3])
     path_4, h2 = _with_temporal(p["motion_modules"][2], path_4, cfg,
-                                frame_length, cache_slice(2), want_kv)
+                                frame_length, cache_slice(2), want_kv,
+                                need_caches)
     path_3 = _fusion(p["refinenet3"], path_4, l3, size=l2.shape[1:3])
     path_3, h3 = _with_temporal(p["motion_modules"][3], path_3, cfg,
-                                frame_length, cache_slice(3), want_kv)
+                                frame_length, cache_slice(3), want_kv,
+                                need_caches)
 
     out_hw = (ph * 14, pw * 14)
     batch = l1.shape[0]

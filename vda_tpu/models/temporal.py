@@ -275,6 +275,7 @@ def temporal_module_apply(
     p, x, cfg: ModelConfig,
     cache_list: Optional[List] = None,
     want_kv: bool = False,
+    need_caches: bool = True,
 ) -> Tuple[jnp.ndarray, List]:
     """Apply one TemporalModule.
 
@@ -285,6 +286,10 @@ def temporal_module_apply(
     (output (B, T, H, W, C), new_cache_list) with
     ``num_transformer_block * num_attention_blocks`` entries of the
     matching kind for the new frames.
+
+    need_caches=False (offline windows, where forward() discards the cache)
+    unlocks the fused whole-block Pallas kernel for narrow-C modules
+    (ops/pallas_temporal.py) and returns an EMPTY cache list.
     """
     b, t, hh, ww, c = x.shape
     residual = x
@@ -297,15 +302,30 @@ def temporal_module_apply(
     # (B, T, D, C) -> (B*D, T, C) sequences per spatial position
     h = h.transpose(0, 2, 1, 3).reshape(b * hh * ww, t, c)
 
+    from vda_tpu.ops.pallas_temporal import fused_block_supported
+    use_fused = (cache_list is None and not want_kv and not need_caches
+                 and fused_block_supported(c, t, cfg.pe,
+                                           cfg.num_attention_heads,
+                                           cfg.num_attention_blocks)
+                 and _on_tpu_or_interpret())
+
     n_blocks = len(p["blocks"])
     n_per = cfg.num_attention_blocks
     all_caches = []
-    for i, bp in enumerate(p["blocks"]):
-        caches = None
-        if cache_list is not None:
-            caches = cache_list[i * n_per:(i + 1) * n_per]
-        h, out_caches = _transformer_block(bp, h, cfg, caches, want_kv=want_kv)
-        all_caches.extend(out_caches)
+    if use_fused:
+        from vda_tpu.ops.pallas_temporal import temporal_block_fused
+        pe_table = jnp.asarray(_sinusoidal_pe(t, c))
+        for bp in p["blocks"]:
+            h = temporal_block_fused(bp, h, pe_table,
+                                     heads=cfg.num_attention_heads, seq=t)
+    else:
+        for i, bp in enumerate(p["blocks"]):
+            caches = None
+            if cache_list is not None:
+                caches = cache_list[i * n_per:(i + 1) * n_per]
+            h, out_caches = _transformer_block(bp, h, cfg, caches,
+                                               want_kv=want_kv)
+            all_caches.extend(out_caches)
 
     h = h.reshape(b, hh * ww, t, c).transpose(0, 2, 1, 3)
     h = linear(p["proj_out"], h)

@@ -45,19 +45,23 @@ def forward_features(params, x, cfg: ModelConfig, attn_impl: str = "auto",
 
 def forward_depth(params, features, x_shape, cfg: ModelConfig,
                   cached_hidden_state_list: Optional[List] = None,
-                  micro_batch_size: int = 4, cache_kind: str = "h"):
+                  micro_batch_size: int = 4, cache_kind: str = "h",
+                  need_caches: bool = True):
     """Head + resize + relu (reference video_depth_stream.py:69-75).
 
     Returns (depth (B, T, H, W), new_cache_list[8]).  cache_kind="kv"
     switches the cache content to pre-PE K/V projection pairs (streaming
-    fast path, see models/dpt.dpt_head_temporal_apply).
+    fast path, see models/dpt.dpt_head_temporal_apply).  need_caches=False
+    (offline windows) returns an empty cache list and unlocks the fused
+    temporal-block kernel.
     """
     b, t, h, w, _ = x_shape
     patch_hw = (h // cfg.vit.patch_size, w // cfg.vit.patch_size)
     depth, caches = dpt_head_temporal_apply(
         params["head"], features, patch_hw, t, cfg,
         cached_hidden_state_list=cached_hidden_state_list,
-        micro_batch_size=micro_batch_size, cache_kind=cache_kind)
+        micro_batch_size=micro_batch_size, cache_kind=cache_kind,
+        need_caches=need_caches)
     depth = resize_bilinear(depth, (h, w), align_corners=True)
     depth = jax.nn.relu(depth)
     return depth[..., 0].reshape(b, t, h, w), caches
@@ -68,5 +72,6 @@ def forward(params, x, cfg: ModelConfig, attn_impl: str = "auto",
     """Full forward (reference video_depth.py:61-68): (B,T,H,W,3) -> (B,T,H,W)."""
     features = forward_features(params, x, cfg, attn_impl, remat=remat)
     depth, _ = forward_depth(params, features, x.shape, cfg,
-                             micro_batch_size=micro_batch_size)
+                             micro_batch_size=micro_batch_size,
+                             need_caches=False)
     return depth
