@@ -64,3 +64,47 @@ def test_reference_state_dict_converts_strict(encoder, features,
 
     if encoder == "vitl":
         assert n_params > 370e6  # the published checkpoint's 381.8M scale
+
+
+@requires_torch
+@pytest.mark.slow
+def test_vitg_state_dict_converts_strict():
+    """vitg completeness (VERDICT r2 #7): the reference factory builds the
+    swiglufused giant encoder (reference dinov2.py:381-414) but ships no
+    head config for it; a vitg checkpoint would pair it with the
+    DA-family giant head (MODEL_CONFIGS['vitg']).  Compose exactly that
+    state dict at full scale and require a strict conversion, exercising
+    the swiglu w12/w3 key mapping (reference swiglu_ffn.py:20-40)."""
+    import torch
+
+    from tests.torch_ref import import_reference
+    import_reference()
+    from video_depth_anything.dinov2 import DINOv2
+    from video_depth_anything.dpt_temporal import DPTHeadTemporal
+
+    cfg = get_config("vitg")
+    with torch.no_grad():
+        enc = DINOv2(model_name="vitg")
+        head = DPTHeadTemporal(enc.embed_dim, cfg.features,
+                               out_channels=list(cfg.out_channels),
+                               num_frames=cfg.num_frames, pe=cfg.pe)
+    sd = {f"pretrained.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"head.{k}": v for k, v in head.state_dict().items()})
+    n_params = sum(v.numel() for v in sd.values())
+
+    params = convert_state_dict(sd, cfg, strict=True)
+
+    import jax
+
+    n_leaves = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    n_pe = sum(int(np.prod(v.shape)) for k, v in sd.items()
+               if "pos_encoder.pe" in k)
+    assert n_leaves == n_params - n_pe
+
+    blk = params["pretrained"]["blocks"][0]
+    d = cfg.vit.embed_dim                      # 1536
+    hidden = (int(int(d * 4.0) * 2 / 3) + 7) // 8 * 8   # 2736 (xformers rule)
+    assert blk["mlp"]["w12"]["w"].shape == (d, 2 * hidden)
+    assert blk["mlp"]["w3"]["w"].shape == (hidden, d)
+    assert params["head"]["projects"][0]["w"].shape == (1, 1, d, 1536)

@@ -85,3 +85,26 @@ def test_forward_bf16_close_to_fp32(tiny_model, tiny_cfg):
     d16 = np.asarray(forward(tiny_model, x.astype(jnp.bfloat16), tiny_cfg))
     scale = max(np.abs(d32).max(), 1e-6)
     assert np.abs(d16.astype(np.float32) - d32).max() / scale < 0.1
+
+
+def test_fold_out_conv1_matches_two_convs():
+    """conv3x3 ∘ conv1x1 fold (models/dpt._fold_out_conv1) must be
+    border-exact: the 1x1 bias must not leak through the 3x3 zero padding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vda_tpu.models.dpt import _fold_out_conv1
+    from vda_tpu.ops.layers import conv2d, init_conv2d
+
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    c, f = 16, 8
+    p1 = init_conv2d(k1, 1, c, c)
+    p2 = init_conv2d(k2, 3, c, f)
+    x = jax.random.normal(k3, (2, 9, 11, c), jnp.float32)  # odd dims: borders
+
+    ref = conv2d(p2, conv2d(p1, x, padding=0), padding=1)
+    got = _fold_out_conv1(p1, p2, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -70,3 +70,4 @@ def test_fused_gate_conditions():
     assert not fused_block_supported(192, 32, "ape", 8)    # lane-unaligned
     assert not fused_block_supported(256, 32, "ape", 8, n_attn=1)
     assert fused_block_supported(256, 32, "ape", 8)
+

@@ -108,8 +108,12 @@ def _rcu(p, x):
     return out + x
 
 
-def _fusion(p, x, res=None, size=None):
-    """FeatureFusionBlock (reference util/blocks.py:135-162)."""
+def _fusion(p, x, res=None, size=None, apply_out_conv=True):
+    """FeatureFusionBlock (reference util/blocks.py:135-162).
+
+    apply_out_conv=False returns the pre-out_conv tensor so the caller can
+    fold the 1x1 out_conv into a following conv (see ``_fold_out_conv1``).
+    """
     out = x
     if res is not None:
         out = out + _rcu(p["rcu1"], res)
@@ -117,7 +121,34 @@ def _fusion(p, x, res=None, size=None):
     if size is None:
         size = (out.shape[1] * 2, out.shape[2] * 2)
     out = resize_bilinear(out, size, align_corners=True)
+    if not apply_out_conv:
+        return out
     return conv2d(p["out_conv"], out, padding=0)
+
+
+def _fold_out_conv1(p_out_conv, p_oc1, x):
+    """refinenet1's 1x1 out_conv folded into the 3x3 output_conv1.
+
+    conv3x3(W2) ∘ conv1x1(W1) == conv3x3(W1 · W2), which removes a full
+    256-channel 296^2 intermediate (~1.4 GB HBM round trip at the vitl
+    window) and the 1x1 conv's 184 G MACs.  The 1x1 bias does NOT survive
+    the fold at image borders (the 3x3 conv's zero padding must see y=0,
+    not b1): its valid-tap contribution is restored by a 1-channel mask
+    conv, so the result is border-exact.  Weight fold happens in fp32.
+    """
+    w1 = p_out_conv["w"][0, 0].astype(jnp.float32)        # (C, C)
+    b1 = p_out_conv["b"].astype(jnp.float32)              # (C,)
+    w2 = p_oc1["w"].astype(jnp.float32)                   # (3,3,C,F)
+    wf = jnp.einsum("ic,hwcf->hwif", w1, w2).astype(x.dtype)
+    bk = jnp.einsum("c,hwcf->hwf", b1, w2)[:, :, None, :]  # (3,3,1,F) fp32
+    y = jax.lax.conv_general_dilated(
+        x, wf, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), jnp.float32)
+    corr = jax.lax.conv_general_dilated(
+        ones, bk, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + (corr + p_oc1["b"].astype(jnp.float32)).astype(y.dtype)
 
 
 def _project_and_resize(p, features, patch_hw):
@@ -143,8 +174,16 @@ def _output_tail(p, path_3, layer_2_rn, layer_1_rn, out_hw):
     (reference dpt_temporal.py:98-108)."""
     path_2 = _fusion(p["refinenet2"], path_3, layer_2_rn,
                      size=layer_1_rn.shape[1:3])
-    path_1 = _fusion(p["refinenet1"], path_2, layer_1_rn)
-    out = conv2d(p["output_conv1"], path_1, padding=1)
+    if path_3.dtype == jnp.bfloat16:
+        # bf16 perf path: fold refinenet1's 1x1 out_conv into output_conv1
+        # (saves the 256-ch intermediate round trip; border-exact, fp32 fold)
+        pre = _fusion(p["refinenet1"], path_2, layer_1_rn,
+                      apply_out_conv=False)
+        out = _fold_out_conv1(p["refinenet1"]["out_conv"],
+                              p["output_conv1"], pre)
+    else:
+        path_1 = _fusion(p["refinenet1"], path_2, layer_1_rn)
+        out = conv2d(p["output_conv1"], path_1, padding=1)
     out = resize_bilinear(out, out_hw, align_corners=True)
     ori_dtype = out.dtype
     if (ori_dtype == jnp.bfloat16 and out_hw[0] % 2 == 0

@@ -263,7 +263,11 @@ def _transformer_block(p, h, cfg: ModelConfig, caches, want_kv: bool = False):
             want_kv=want_kv)
         h = attn_out + h
         out_caches.append(input_hs)
-    # GEGLU FF (reference motion_module/attention.py:363-384)
+    # GEGLU FF (reference motion_module/attention.py:363-384).  MEASURED
+    # DEAD END (r3): a Pallas fused proj+GEGLU kernel that never
+    # materializes x12 (ops/pallas_temporal.geglu_in) ran mm0 at 17.8 vs
+    # 14.8 ms — the col-blocked grid re-reads hn 4x and loses XLA's
+    # matmul/epilogue overlap; x12's HBM round trip is cheaper.
     hn = layer_norm(p["ff_norm"], h, eps=1e-5)
     x12 = linear(p["ff"]["proj"], hn)
     x1, gate = jnp.split(x12, 2, axis=-1)
