@@ -67,13 +67,20 @@ def extract_bonn(root, depth_root, saved_dir, dataset_name="bonn"):
                osp.join(out, "bonn_video_500.json"))
 
 
-def extract_sintel(root, depth_root, saved_dir, dataset_name="sintel"):
+def extract_sintel(root, depth_root, saved_dir, dataset_name="sintel",
+                   cam_root=None):
     """NOTE: the reference extractor (dataset_extract_sintel.py:76-96) writes
     a type-major layout (sintel/clean/<scene>/, sintel/depth/<scene>/) that
     its own gen_json (eval_utils.py:37-48, scene-major glob) cannot read —
     it would emit empty manifests.  This rebuild writes the scene-major
     canonical layout (<scene>/clean/, <scene>/depth/) that gen_json and the
-    eval pipeline actually consume."""
+    eval pipeline actually consume.
+
+    cam_root (MPI-Sintel ``training/camdata_left``): when given, per-frame
+    K and camera-to-world pose files are extracted from the ``.cam`` files
+    and a ``sintel_video_tae.json`` TAE manifest is emitted — closing the
+    reference's unusable sintel TAE config (its extractor drops camdata,
+    reference eval_tae.py:223-249 only wires scannet)."""
     import cv2
     from PIL import Image
 
@@ -90,9 +97,25 @@ def extract_sintel(root, depth_root, saved_dir, dataset_name="sintel"):
             os.makedirs(osp.dirname(out_dep), exist_ok=True)
             cv2.imwrite(out_img, img)
             cv2.imwrite(out_dep, depth.astype(np.uint16))
+            if cam_root is not None:
+                cam_path = osp.join(cam_root, seq_name,
+                                    img_name[:-3] + "cam")
+                k, n = u.read_sintel_cam(cam_path)
+                stem = img_name[:-4]
+                out_k = osp.join(saved_dir, dataset_name, seq_name,
+                                 "intrinsic", stem + ".txt")
+                out_pose = osp.join(saved_dir, dataset_name, seq_name,
+                                    "pose", stem + ".txt")
+                os.makedirs(osp.dirname(out_k), exist_ok=True)
+                os.makedirs(osp.dirname(out_pose), exist_ok=True)
+                np.savetxt(out_k, k)
+                np.savetxt(out_pose, u.sintel_cam_to_pose(n))
     out = osp.join(saved_dir, dataset_name)
     u.gen_json(out, dataset_name, 0, 100, 1,
                osp.join(out, "sintel_video.json"))
+    if cam_root is not None:
+        u.gen_json_sintel_tae(out, 0, 100, 1,
+                              osp.join(out, "sintel_video_tae.json"))
 
 
 def extract_nyuv2(root, saved_dir, dataset_name="nyuv2"):
@@ -162,6 +185,9 @@ def main(argv=None):
                         help="raw dataset root (RGB)")
     parser.add_argument("--depth-root", default=None,
                         help="raw GT depth root (kitti/bonn/sintel)")
+    parser.add_argument("--cam-root", default=None,
+                        help="sintel camdata_left root: also extract K/pose "
+                             "and emit the sintel TAE manifest")
     parser.add_argument("--saved-dir", default="./benchmark/datasets/")
     args = parser.parse_args(argv)
 
@@ -170,7 +196,8 @@ def main(argv=None):
     elif args.dataset == "bonn":
         extract_bonn(args.root, args.depth_root or args.root, args.saved_dir)
     elif args.dataset == "sintel":
-        extract_sintel(args.root, args.depth_root or args.root, args.saved_dir)
+        extract_sintel(args.root, args.depth_root or args.root,
+                       args.saved_dir, cam_root=args.cam_root)
     elif args.dataset == "nyuv2":
         extract_nyuv2(args.root, args.saved_dir)
     elif args.dataset == "scannet":

@@ -157,3 +157,64 @@ def read_sintel_dpt(filename: str) -> np.ndarray:
             raise ValueError(f"bad .dpt size in {filename}")
         return np.fromfile(f, dtype=np.float32, count=-1) \
             .reshape((height, width))
+
+
+def read_sintel_cam(filename: str):
+    """MPI-Sintel ``.cam`` reader (camdata_left): returns (K (3,3),
+    N (3,4) world-to-camera extrinsic), float64.  Format: TAG_FLOAT then
+    the two row-major float64 matrices (Sintel toolkit sintel_io.cam_read)."""
+    with open(filename, "rb") as f:
+        check = np.fromfile(f, dtype=np.float32, count=1)[0]
+        if check != SINTEL_TAG_FLOAT:
+            raise ValueError(f"bad .cam tag in {filename}: {check}")
+        m = np.fromfile(f, dtype=np.float64, count=9).reshape(3, 3)
+        n = np.fromfile(f, dtype=np.float64, count=12).reshape(3, 4)
+    return m, n
+
+
+def sintel_cam_to_pose(n: np.ndarray) -> np.ndarray:
+    """World-to-camera (3,4) extrinsic -> (4,4) camera-to-world pose, the
+    convention the TAE manifests carry (scannet pose files are cam-to-world;
+    eval_tae composes t_2_1 = inv(T2) @ T1 on that convention)."""
+    t = np.eye(4)
+    t[:3, :4] = n
+    return np.linalg.inv(t)
+
+
+def gen_json_sintel_tae(root_path: str, start_id: int, end_id: int,
+                        step: int, save_path: str) -> None:
+    """Sintel TAE manifest with per-frame K + pose.
+
+    No reference counterpart: the reference's TAE protocol only configures
+    scannet (reference eval_tae.py:223-249) and its sintel extractor drops
+    the camdata entirely, leaving its sintel TAE config unusable (KeyError).
+    This closes that hole using the per-frame K/pose files written by
+    ``extract.extract_sintel(cam_root=...)``."""
+    data = {"sintel": []}
+    for piece in glob.glob(osp.join(root_path, "*")):
+        if not osp.isdir(piece):
+            continue
+        name = osp.basename(piece)
+        images = natural_sorted(glob.glob(osp.join(piece, "clean", "*.png")))
+        depths = natural_sorted(glob.glob(osp.join(piece, "depth", "*.png")))
+        images = images[start_id:end_id:step]
+        depths = depths[start_id:end_id:step]
+        entries = []
+        for img, dep in zip(images, depths):
+            stem = osp.splitext(osp.basename(img))[0]
+            k_path = osp.join(piece, "intrinsic", stem + ".txt")
+            pose_path = osp.join(piece, "pose", stem + ".txt")
+            if not (osp.exists(k_path) and osp.exists(pose_path)):
+                entries = []
+                break  # scene extracted without camdata: skip it
+            entries.append({
+                "image": img[len(root_path) + 1:],
+                "gt_depth": dep[len(root_path) + 1:],
+                "factor": DATASET_FACTORS["sintel"],
+                "K": np.loadtxt(k_path).tolist(),
+                "pose": np.loadtxt(pose_path).tolist(),
+            })
+        if entries:
+            data["sintel"].append({name: entries})
+    with open(save_path, "w") as f:
+        json.dump(data, f, indent=4)

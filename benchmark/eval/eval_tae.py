@@ -42,7 +42,11 @@ TAE_CONFIGS = {
     # we use it directly.
     "scannet": dict(json_name="scannet/scannet_video_tae.json",
                     max_depth=10.0, crop=(8, -8, 11, -11)),
-    "sintel": dict(json_name="sintel/sintel_video.json", max_depth=70.0,
+    # sintel: requires extract.extract_sintel(cam_root=camdata_left) so the
+    # manifest carries per-frame K + pose.  The reference lists a sintel TAE
+    # config too but its extractor drops the camdata, leaving it unusable
+    # (reference eval_tae.py:223-249 only wires scannet) — ours is runnable.
+    "sintel": dict(json_name="sintel/sintel_video_tae.json", max_depth=70.0,
                    crop=(0, 436, 0, 1024)),
 }
 

@@ -155,3 +155,62 @@ def test_scannet_extract(tmp_path):
     # TAE protocol uses the UNCROPPED frames
     origin = cv2.imread(osp.join(out, "scannet", te[0]["image"]))
     assert origin.shape[:2] == (480, 640)
+
+
+def test_sintel_extract_with_camdata_emits_tae_manifest(tmp_path):
+    """cam_root extraction: per-frame K/pose from .cam files + a runnable
+    sintel TAE manifest (no reference counterpart — its sintel TAE config
+    is unusable because its extractor drops camdata)."""
+    root, depth_root, cam_root, out = (str(tmp_path / d) for d in
+                                       ("raw", "rawd", "cam", "out"))
+    seq = "alley_1"
+    k_mat = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1.0]])
+    for i in range(3):
+        name = f"frame_{i:04d}.png"
+        _write_img(osp.join(root, seq, name), 48, 64)
+        depth = (RNG.random((48, 64)).astype(np.float32) * 100)
+        dpt_path = osp.join(depth_root, seq, name[:-3] + "dpt")
+        os.makedirs(osp.dirname(dpt_path), exist_ok=True)
+        with open(dpt_path, "wb") as f:
+            np.float32(u.SINTEL_TAG_FLOAT).tofile(f)
+            np.int32(64).tofile(f)
+            np.int32(48).tofile(f)
+            depth.tofile(f)
+        # world-to-cam extrinsic: small per-frame translation
+        n_mat = np.hstack([np.eye(3), np.array([[0.1 * i], [0.0], [0.0]])])
+        cam_path = osp.join(cam_root, seq, name[:-3] + "cam")
+        os.makedirs(osp.dirname(cam_path), exist_ok=True)
+        with open(cam_path, "wb") as f:
+            np.float32(u.SINTEL_TAG_FLOAT).tofile(f)
+            k_mat.astype(np.float64).tofile(f)
+            n_mat.astype(np.float64).tofile(f)
+
+    E.extract_sintel(root, depth_root, out, cam_root=cam_root)
+    m = _load_manifest(osp.join(out, "sintel", "sintel_video_tae.json"))
+    entries = m["sintel"][0][seq]
+    assert len(entries) == 3
+    e0 = entries[0]
+    np.testing.assert_allclose(np.asarray(e0["K"]), k_mat)
+    # pose is cam-to-world: inverse of [N; 0 0 0 1]
+    pose2 = np.asarray(entries[2]["pose"])
+    np.testing.assert_allclose(pose2[:3, 3], [-0.2, 0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(pose2[:3, :3], np.eye(3), atol=1e-12)
+
+    # the TAE eval must consume this manifest end-to-end: constant depth
+    # with identity-rotation poses reprojects consistently -> tiny TAE
+    from benchmark.eval.eval_tae import eval_tae_sequence
+
+    gt_paths = [osp.join(out, "sintel", e["gt_depth"]) for e in entries]
+    pred_dir = tmp_path / "preds"
+    pred_dir.mkdir()
+    pred_paths = []
+    for i, e in enumerate(entries):
+        p = str(pred_dir / f"{i}.npy")
+        np.save(p, np.full((48, 64), 2.0, np.float32))
+        pred_paths.append(p)
+    val = eval_tae_sequence(
+        pred_paths, gt_paths, [e["factor"] for e in entries],
+        [np.asarray(e["K"]) for e in entries],
+        [np.asarray(e["pose"]) for e in entries],
+        crop=(0, 48, 0, 64), max_depth=70.0, hard_crop=False)
+    assert np.isfinite(val) and val >= 0

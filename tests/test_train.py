@@ -82,3 +82,67 @@ def test_resume_or_init_without_checkpoints(tiny_cfg, tiny_state, tmp_path):
     state, _ = tiny_state
     restored, start = resume_or_init(str(tmp_path / "none"), state)
     assert start == 0 and restored is state
+
+
+def test_drop_path_stochastic_depth():
+    """DropPath semantics (reference drop_path.py:18-35): per-sample zeroing
+    with 1/keep scaling; identity at rate 0; expectation preserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from vda_tpu.ops.layers import drop_path
+
+    x = jnp.ones((512, 3, 5))
+    rng = jax.random.PRNGKey(0)
+    y0 = drop_path(x, 0.0, rng)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(x))
+
+    y = np.asarray(drop_path(x, 0.4, rng))
+    # each sample is either fully zero or fully scaled by 1/0.6
+    per_sample = y.reshape(512, -1)
+    kept = per_sample[:, 0] != 0
+    assert 0.4 < kept.mean() < 0.8  # ~0.6 expected
+    np.testing.assert_allclose(per_sample[kept], 1.0 / 0.6, rtol=1e-6)
+    assert np.all(per_sample[~kept] == 0.0)
+
+
+def test_encoder_drop_path_schedule_and_training_path():
+    """drop_path_rate threads through encode: training output differs from
+    inference, rate 0 is bit-identical, and the train step accepts it."""
+    import jax
+    import jax.numpy as jnp
+
+    from vda_tpu.config import get_config
+    from vda_tpu.models.vda import forward, init_video_depth_anything
+
+    cfg = get_config("tiny")
+    params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 4, 56, 56, 3)), jnp.float32)
+
+    base = np.asarray(forward(params, x, cfg))
+    same = np.asarray(forward(params, x, cfg, drop_path_rate=0.0,
+                              rng=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(base, same)
+
+    # tiny cfg has depth 2: block 1 gets the full rate under the linear rule
+    dropped = np.asarray(forward(params, x, cfg, drop_path_rate=0.95,
+                                 rng=jax.random.PRNGKey(1)))
+    assert np.abs(dropped - base).max() > 0  # branch actually dropped/scaled
+
+    from vda_tpu.parallel.train import (
+        init_train_state,
+        make_train_step,
+    )
+
+    step = make_train_step(cfg, micro_batch_size=4, remat=False,
+                           drop_path_rate=0.2)
+    state = init_train_state(params)
+    batch = {
+        "video": x,
+        "depth": jnp.ones((1, 4, 56, 56), jnp.float32),
+        "mask": jnp.ones((1, 4, 56, 56), jnp.float32),
+    }
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state2.step) == 1

@@ -162,20 +162,34 @@ def _mlp(p, x, ffn_layer: str):
 
 
 def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto",
-                valid_len: int | None = None):
+                valid_len: int | None = None,
+                drop_path_rate: float = 0.0, rng=None):
     """Pre-norm block: x + ls1*attn(n1(x)); x + ls2*mlp(n2(x))
     (reference dinov2_layers/block.py:82-107, inference path).
 
     valid_len: set when x is lane-padded along N (padded-encoder fast path);
     only attention needs it — LN/MLP/residuals are row-independent so pad
     rows stay inert garbage.
+
+    drop_path_rate > 0 with an rng applies stochastic depth to both residual
+    branches (reference block.py:110-201 training path, drop_path.py:18-35).
     """
+    from vda_tpu.ops.layers import drop_path
+
+    use_dp = drop_path_rate > 0.0 and rng is not None
+    if use_dp:
+        rng1, rng2 = jax.random.split(rng)
     h = _attention(p["attn"], layer_norm(p["norm1"], x), cfg.num_heads,
                    attn_impl, valid_len)
-    x = x + h * p["ls1"].astype(h.dtype)
+    h = h * p["ls1"].astype(h.dtype)
+    if use_dp:
+        h = drop_path(h, drop_path_rate, rng1)
+    x = x + h
     h = _mlp(p["mlp"], layer_norm(p["norm2"], x), cfg.ffn_layer)
-    x = x + h * p["ls2"].astype(h.dtype)
-    return x
+    h = h * p["ls2"].astype(h.dtype)
+    if use_dp:
+        h = drop_path(h, drop_path_rate, rng2)
+    return x + h
 
 
 def block_apply_nested(p, x_list, cfg: EncoderConfig, attn_impl: str = "auto"):
@@ -229,7 +243,7 @@ def prepare_tokens(params, x, cfg: EncoderConfig):
 
 def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
            attn_impl: str = "auto", scan_blocks: bool = True,
-           remat: bool = False):
+           remat: bool = False, drop_path_rate: float = 0.0, rng=None):
     """Reference get_intermediate_layers(x, tap_idx, return_class_token=True)
     (dinov2.py:297-321).
 
@@ -247,6 +261,12 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     ONCE here and every block runs tile-aligned with key masking inside the
     attention kernel — instead of each layer emitting a ~270 MB pad copy of
     its qkv tensor (~0.7 ms x 24 at the vitl window shape).
+
+    drop_path_rate > 0 with an rng enables stochastic depth with the DINOv2
+    linear per-layer schedule (reference dinov2.py:115-120,
+    drop_path_uniform=False): rate_i = drop_path_rate * i / (depth - 1).
+    The block stack then runs unrolled (per-block static rates), which is
+    the training configuration anyway.
     """
     taps = set(tap_idx)
     h = prepare_tokens(params, x, cfg)
@@ -263,7 +283,18 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     if remat:
         apply_fn = jax.checkpoint(
             functools.partial(block_apply), static_argnums=(2, 3, 4))
-    if scan_blocks:
+    if drop_path_rate > 0.0 and rng is not None:
+        # stochastic depth: per-block static rates (DINOv2 linear decay
+        # rule, reference dinov2.py:116-119) force the unrolled path
+        depth = cfg.depth
+        rates = [drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
+        keys = jax.random.split(rng, depth)
+        for i, bp in enumerate(params["blocks"]):
+            h = apply_fn(bp, h, cfg, attn_impl, valid_len,
+                         drop_path_rate=rates[i], rng=keys[i])
+            if i in taps or i == cfg.depth - 1:
+                out[i] = h
+    elif scan_blocks:
         boundaries = sorted(taps | {cfg.depth - 1})
         start = 0
         for end in boundaries:

@@ -32,15 +32,18 @@ def init_video_depth_anything(key, cfg: ModelConfig):
 
 
 def forward_features(params, x, cfg: ModelConfig, attn_impl: str = "auto",
-                     remat: bool = False):
+                     remat: bool = False, drop_path_rate: float = 0.0,
+                     rng=None):
     """Encoder taps (reference video_depth_stream.py:65-67).
 
     x: (B, T, H, W, 3) -> list of 4 (tokens (B*T, N, D), cls (B*T, D)).
+    drop_path_rate/rng: stochastic depth for training (models/dinov2.encode).
     """
     b, t, h, w, c = x.shape
     flat = x.reshape(b * t, h, w, c)
     return encode(params["pretrained"], flat, cfg.vit,
-                  cfg.intermediate_layer_idx, attn_impl, remat=remat)
+                  cfg.intermediate_layer_idx, attn_impl, remat=remat,
+                  drop_path_rate=drop_path_rate, rng=rng)
 
 
 def forward_depth(params, features, x_shape, cfg: ModelConfig,
@@ -68,9 +71,11 @@ def forward_depth(params, features, x_shape, cfg: ModelConfig,
 
 
 def forward(params, x, cfg: ModelConfig, attn_impl: str = "auto",
-            micro_batch_size: int = 4, remat: bool = False):
+            micro_batch_size: int = 4, remat: bool = False,
+            drop_path_rate: float = 0.0, rng=None):
     """Full forward (reference video_depth.py:61-68): (B,T,H,W,3) -> (B,T,H,W)."""
-    features = forward_features(params, x, cfg, attn_impl, remat=remat)
+    features = forward_features(params, x, cfg, attn_impl, remat=remat,
+                                drop_path_rate=drop_path_rate, rng=rng)
     depth, _ = forward_depth(params, features, x.shape, cfg,
                              micro_batch_size=micro_batch_size,
                              need_caches=False)

@@ -93,6 +93,19 @@ def group_norm(p, x, num_groups: int, eps: float = 1e-6):
     return y.astype(dtype)
 
 
+def drop_path(x, rate: float, rng, scale_by_keep: bool = True):
+    """Stochastic depth on a residual branch (reference
+    dinov2_layers/drop_path.py:18-35): per-SAMPLE Bernoulli zeroing with the
+    survivors scaled by 1/keep_prob.  Training-only — inference never calls
+    this (identity at rate 0)."""
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    if scale_by_keep and keep > 0.0:
+        mask = mask / jnp.asarray(keep, x.dtype)
+    return x * mask
+
+
 def conv2d(p, x, stride: int = 1, padding="SAME", accumulate_fp32=False):
     """2D conv, NHWC / HWIO.
 

@@ -33,21 +33,30 @@ def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2):
 
 def make_train_step(cfg: ModelConfig, optimizer=None,
                     micro_batch_size: int | None = None,
-                    remat: bool = True) -> Callable:
+                    remat: bool = True,
+                    drop_path_rate: float = 0.0) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: dict(video (B,T,H,W,3), depth (B,T,H,W), mask (B,T,H,W)).
     micro_batch_size defaults to the full window (no tail chunking) because
     lax.scan over a sharded batch dim would force resharding.
+
+    drop_path_rate > 0 enables encoder stochastic depth (the DINOv2
+    fine-tuning recipe, reference drop_path.py:18-35 + dinov2.py:116-119);
+    the per-step rng is folded from the step counter, so training remains a
+    pure function of (state, batch).
     """
     if optimizer is None:
         optimizer = make_optimizer()
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, step):
         mb = micro_batch_size or (batch["video"].shape[0]
                                   * batch["video"].shape[1])
+        rng = (jax.random.fold_in(jax.random.PRNGKey(0), step)
+               if drop_path_rate > 0.0 else None)
         pred = forward(params, batch["video"], cfg, attn_impl="xla",
-                       micro_batch_size=mb, remat=remat)
+                       micro_batch_size=mb, remat=remat,
+                       drop_path_rate=drop_path_rate, rng=rng)
         losses = video_depth_loss(pred.astype(jnp.float32),
                                   batch["depth"].astype(jnp.float32),
                                   batch["mask"])
@@ -55,7 +64,7 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
 
     def train_step(state: TrainState, batch):
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, state.step)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
