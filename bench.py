@@ -42,9 +42,12 @@ def main():
     params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
     params = cast_params_for_inference(params)
 
+    mb = int(os.environ.get("VDA_BENCH_MB", "16"))
+
     @jax.jit
     def step(params, x):
-        return forward(params, x, cfg, attn_impl=attn_impl, micro_batch_size=16)
+        return forward(params, x, cfg, attn_impl=attn_impl,
+                       micro_batch_size=mb)
 
     x = jnp.ones((1, t, size, size, 3), jnp.bfloat16)
 

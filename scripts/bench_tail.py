@@ -197,6 +197,49 @@ def main():
             ms = slope(variant, p, x)
             print(f"island [{name}]: {ms:.2f} ms  x2 = {2*ms:.1f}", flush=True)
 
+    if "island3" in stages:
+        # resize formulation A/B inside the island: current separable
+        # einsums vs H-pass-only form with a W<->H transpose sandwich
+        from vda_tpu.ops.layers import conv2d_3x3_s2d
+        from vda_tpu.ops.resize import _linear_matrix
+        x = jax.random.normal(key, (16, 296, 296, 128), jnp.bfloat16)
+        mh = jnp.asarray(_linear_matrix(296, 518, True)).astype(jnp.bfloat16)
+
+        def rs_cur(z):
+            return resize_bilinear(z, (518, 518), align_corners=True)
+
+        def rs_tr(z):
+            zt = z.transpose(0, 2, 1, 3)
+            y = jnp.einsum("pw,bwhc->bphc", mh, zt,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+            y2 = jnp.einsum("oh,bphc->bpoc", mh, y,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            return y2.transpose(0, 2, 1, 3)
+
+        def mk(resize_fn):
+            def make(k):
+                def f(p, x):
+                    out = None
+                    for _ in range(k):
+                        up = resize_fn(x)
+                        o32 = jax.nn.relu(conv2d_3x3_s2d(
+                            p["output_conv2"]["conv0"], up,
+                            accumulate_fp32=True))
+                        out = jax.nn.relu(dpt.conv2d(
+                            p["output_conv2"]["conv1"], o32, padding=0))
+                        x = feedback(x, out[0, 0, 0, 0])
+                    return out[0, :1, :1, :1]
+                return f
+            return make
+
+        for name, rf in (("current separable", rs_cur),
+                         ("transpose sandwich", rs_tr)):
+            ms = slope(mk(rf), p, x)
+            print(f"island3 [{name}]: {ms:.2f} ms  x2 = {2*ms:.1f}",
+                  flush=True)
+
     if "ocs2d" in stages:
         # output_conv1 (3x3, 256->128, 296^2) in s2d form vs plain lax conv
         from vda_tpu.ops.layers import conv2d_3x3_s2d

@@ -93,3 +93,77 @@ def test_profiling_stage_timer_sync(tiny_cfg):
     # trace() is a no-op without a log dir and must not raise with one
     with trace(None):
         pass
+
+
+def test_tp_layout_roundtrip_and_equivalence(tiny_cfg):
+    """to_tp_layout params + cfg.tp_layout must compute the same forward."""
+    import jax.numpy as jnp
+
+    from vda_tpu.models.vda import forward
+    from vda_tpu.parallel.mesh import from_tp_layout, to_tp_layout
+
+    params = init_video_depth_anything(jax.random.PRNGKey(0), tiny_cfg)
+    s = tiny_cfg.vit.img_size
+    x = jnp.asarray(np.random.default_rng(0).random((1, 2, s, s, 3)),
+                    jnp.float32)
+    base = np.asarray(forward(params, x, tiny_cfg, attn_impl="xla"))
+
+    p_tp = to_tp_layout(params)
+    qkv = p_tp["pretrained"]["blocks"][0]["attn"]["qkv"]
+    assert qkv["w"].ndim == 3 and qkv["b"].ndim == 2
+    cfg_tp = tiny_cfg.replace(tp_layout=True)
+    got = np.asarray(forward(p_tp, x, cfg_tp, attn_impl="xla"))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
+
+    p_back = from_tp_layout(p_tp)
+    np.testing.assert_array_equal(
+        np.asarray(p_back["pretrained"]["blocks"][0]["attn"]["qkv"]["w"]),
+        np.asarray(params["pretrained"]["blocks"][0]["attn"]["qkv"]["w"]))
+
+
+def test_tp_collective_structure(tiny_cfg, cpu_devices):
+    """The head-aligned TP forward must compile to the Megatron
+    2-collective pattern (VERDICT r2 #5): NO all-gathers or
+    reduce-scatters around attention, and exactly one all-reduce per
+    row-parallel projection — 2 per encoder block (attn proj, fc2/w3)
+    plus 1 per temporal attention block (to_out)."""
+    import re
+
+    import jax.numpy as jnp
+
+    from vda_tpu.models.vda import forward
+    from vda_tpu.parallel.mesh import make_mesh, param_shardings, to_tp_layout
+
+    cfg = tiny_cfg.replace(tp_layout=True)
+    params = to_tp_layout(
+        init_video_depth_anything(jax.random.PRNGKey(0), cfg))
+    mesh = make_mesh(n_devices=2, tp=2, devices=cpu_devices)
+    shardings = param_shardings(params, mesh)
+    # the 3D qkv weight must actually be model-sharded (not the replicated
+    # fallback the raw fused layout gets)
+    qkv_spec = shardings["pretrained"]["blocks"][0]["attn"]["qkv"]["w"].spec
+    assert qkv_spec == jax.sharding.PartitionSpec(None, None, "model")
+    params = jax.device_put(params, shardings)
+    s = cfg.vit.img_size
+    x = jnp.zeros((1, 2, s, s, 3), jnp.float32)
+    with jax.set_mesh(mesh):
+        fn = jax.jit(lambda p, xx: forward(p, xx, cfg, attn_impl="xla",
+                                           micro_batch_size=2))
+        hlo = fn.lower(params, x).compile().as_text()
+
+    # XLA's all-reduce combiner may merge INDEPENDENT psums into one op
+    # with multiple operands, so count reduced operands, not call sites
+    n_ar = sum(len(m.split(","))
+               for m in re.findall(r"all-reduce(?:-start)?\(([^)]*)\)", hlo))
+    n_ag = len(re.findall(r"all-gather(?:-start)?\(", hlo))
+    n_rs = len(re.findall(r"reduce-scatter(?:-start)?\(", hlo))
+
+    depth = cfg.vit.depth
+    n_mm = 4
+    expected_ar = depth * 2 + n_mm * cfg.num_transformer_block \
+        * cfg.num_attention_blocks
+    assert n_ag == 0, f"head-misalignment signature: {n_ag} all-gathers"
+    assert n_rs == 0, f"unexpected reduce-scatters: {n_rs}"
+    assert n_ar == expected_ar, (
+        f"expected {expected_ar} reduced operands (2/encoder block + "
+        f"1/temporal attention), got {n_ar}")

@@ -74,6 +74,11 @@ class ModelConfig:
     num_frames: int = INFER_LEN
     pe: str = "ape"
     metric: bool = False
+    # tensor-parallel execution (parallel/mesh.py): keeps attention
+    # projections as separate per-weight matmuls so GSPMD shards them
+    # head-aligned (the single-chip paths fuse q/k/v into one matmul, which
+    # is the right MXU shape but the wrong sharding granularity)
+    tp_layout: bool = False
     # Temporal motion-module hyperparameters (reference dpt_temporal.py:35-40).
     num_attention_heads: int = 8
     num_transformer_block: int = 1

@@ -136,6 +136,19 @@ def _attention(p, x, num_heads: int, attn_impl: str,
                valid_len: int | None = None):
     b, n, d = x.shape
     dh = d // num_heads
+    if p["qkv"]["w"].ndim == 3:
+        # head-aligned TP layout (parallel/mesh.to_tp_layout): (d, 3, d)
+        # weight whose LAST axis is model-sharded — q/k/v each come out
+        # lane-sharded by whole heads, attention is shard-local, and the
+        # only collective is the psum GSPMD inserts after the row-parallel
+        # out-projection (Megatron recipe)
+        qkv3 = jnp.einsum("bnd,dke->bnke", x,
+                          p["qkv"]["w"].astype(x.dtype))
+        qkv3 = qkv3 + p["qkv"]["b"].astype(qkv3.dtype)
+        o = packed_self_attention(qkv3[..., 0, :], qkv3[..., 1, :],
+                                  qkv3[..., 2, :], num_heads,
+                                  scale=dh ** -0.5, impl="xla")
+        return linear(p["proj"], o)
     qkv = linear(p["qkv"], x)
     # fused qkv layout is [q | k | v] along the output dim
     # (reference dinov2_layers/attention.py:44,51)

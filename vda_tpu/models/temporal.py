@@ -148,11 +148,14 @@ def _temporal_attention(p, h, cfg: ModelConfig,
         pe = jnp.asarray(_sinusoidal_pe(t_full, c))
         h = h + pe[None, :t_full].astype(h.dtype)
 
-    if d_in == 0:  # rope is applied after projection, so fusing stays valid
+    if d_in == 0 and not cfg.tp_layout:
+        # rope is applied after projection, so fusing stays valid.
         # offline path: q/k/v all project the same h — one fused (C, 3C)
         # matmul keeps the MXU busy at small widths (C=256 modules measured
         # ~36 TF/s with three separate matmuls; the weight concat is a few
-        # hundred KB and hoisted off the critical path by XLA)
+        # hundred KB and hoisted off the critical path by XLA).  Under
+        # tp_layout the concat would be head-MISALIGNED across shards, so
+        # TP keeps three separate column-parallel matmuls (below).
         w = jnp.concatenate(
             [p["to_q"]["w"], p["to_k"]["w"], p["to_v"]["w"]], axis=1)
         qkv = jnp.matmul(h, w.astype(h.dtype))
@@ -176,7 +179,7 @@ def _temporal_attention(p, h, cfg: ModelConfig,
     dh = c // heads
     t_q = q.shape[1]
     use_kernel = (t_q == t_full and t_full <= 64 and dh % 8 == 0
-                  and _on_tpu_or_interpret())
+                  and not cfg.tp_layout and _on_tpu_or_interpret())
     if use_kernel:
         from vda_tpu.ops.pallas_attention import tiny_seq_attention
 
@@ -308,6 +311,7 @@ def temporal_module_apply(
 
     from vda_tpu.ops.pallas_temporal import fused_block_supported
     use_fused = (cache_list is None and not want_kv and not need_caches
+                 and not cfg.tp_layout
                  and fused_block_supported(c, t, cfg.pe,
                                            cfg.num_attention_heads,
                                            cfg.num_attention_blocks)

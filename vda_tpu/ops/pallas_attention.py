@@ -48,6 +48,8 @@ def _pick_head_group(heads: int, d: int, max_width: int = 512) -> int:
     and no wider than ``max_width`` (512 measured ~5% faster than 256 at the
     vitl window shape — fewer grid cells, same HBM traffic, still VMEM-safe
     with double-buffered score tiles)."""
+    if os.environ.get("VDA_ATTN_GW"):
+        max_width = int(os.environ["VDA_ATTN_GW"])  # full-bench sweep knob
     candidates = [g for g in range(1, heads + 1)
                   if heads % g == 0 and (g * d) % 128 == 0]
     if not candidates:
@@ -190,6 +192,8 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
     if valid_len is None:
         valid_len = n
     np_len = -(-n // 128) * 128
+    if block_q is None and os.environ.get("VDA_ATTN_BQ"):
+        block_q = int(os.environ["VDA_ATTN_BQ"])  # full-bench sweep knob
     # Tuning (v5e, ViT shape 32x1408x16x64, round 2): with 8-head (512-lane)
     # groups, 8 q-blocks of 176 rows run 85.4 TF/s vs 70.9 for 4x352 —
     # the smaller fp32 score tile (176x1408, <1 MB) overlaps the per-head

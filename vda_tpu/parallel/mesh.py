@@ -42,13 +42,55 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def _spec_for_path(path: str) -> P:
+def to_tp_layout(params):
+    """Reshape the fused encoder qkv weights for HEAD-ALIGNED tensor
+    parallelism: (d, 3d) [q|k|v] -> (d, 3, d) and bias (3d,) -> (3, d).
+
+    Sharding the fused (d, 3d) columns directly is head-MISALIGNED — a tp=2
+    shard holds all of q plus half of k, so GSPMD must reshard around the
+    per-head attention.  With the 3-axis layout the MODEL axis splits the
+    last dim (whole heads of q, k, AND v per shard): the Megatron recipe
+    with exactly one all-reduce after the out-projection.  The model applies
+    3D qkv weights natively (models/dinov2._attention).  Inverse:
+    ``from_tp_layout`` (use before exporting checkpoints)."""
+    import jax.numpy as jnp
+
+    def conv(params):
+        for bp in params["pretrained"]["blocks"]:
+            qkv = bp["attn"]["qkv"]
+            if qkv["w"].ndim == 2:
+                d = qkv["w"].shape[0]
+                qkv["w"] = qkv["w"].reshape(d, 3, d)
+                qkv["b"] = qkv["b"].reshape(3, d)
+        return params
+
+    return conv(jax.tree_util.tree_map(lambda x: x, params))
+
+
+def from_tp_layout(params):
+    """Inverse of ``to_tp_layout``."""
+    def conv(params):
+        for bp in params["pretrained"]["blocks"]:
+            qkv = bp["attn"]["qkv"]
+            if qkv["w"].ndim == 3:
+                d = qkv["w"].shape[0]
+                qkv["w"] = qkv["w"].reshape(d, 3 * d)
+                qkv["b"] = qkv["b"].reshape(3 * d)
+        return params
+
+    return conv(jax.tree_util.tree_map(lambda x: x, params))
+
+
+def _spec_for_path(path: str, ndim: int = 2) -> P:
     """Tensor-parallel partition spec for one parameter path."""
-    # --- encoder attention: qkv column-parallel, proj row-parallel ---
+    # --- encoder attention: qkv column-parallel (HEAD-ALIGNED 3-axis
+    # layout from to_tp_layout), proj row-parallel ---
     if path.endswith("attn/qkv/w"):
-        return P(None, MODEL_AXIS)
+        # the raw fused (d, 3d) layout is head-misaligned: shard only the
+        # to_tp_layout (d, 3, d) form, replicate otherwise
+        return P(None, None, MODEL_AXIS) if ndim == 3 else P()
     if path.endswith("attn/qkv/b"):
-        return P(MODEL_AXIS)
+        return P(None, MODEL_AXIS) if ndim == 2 else P()
     if path.endswith("attn/proj/w"):
         return P(MODEL_AXIS, None)
     # --- encoder MLP: fc1 column, fc2 row ---
@@ -73,9 +115,12 @@ def _path_str(kp) -> str:
 
 
 def param_shardings(params, mesh: Mesh):
-    """NamedSharding pytree for a params pytree under the TP rules above."""
+    """NamedSharding pytree for a params pytree under the TP rules above.
+
+    For head-aligned encoder-attention sharding, convert the params with
+    ``to_tp_layout`` first (raw fused qkv stays replicated otherwise)."""
     def leaf(kp, x):
-        spec = _spec_for_path(_path_str(kp))
+        spec = _spec_for_path(_path_str(kp), getattr(x, "ndim", 2))
         # guard: axes must divide the dim; fall back to replication otherwise
         tp = mesh.shape[MODEL_AXIS]
         for dim, name in zip(x.shape, spec):

@@ -13,7 +13,12 @@ from typing import Callable, Iterable, Optional
 import jax
 
 from vda_tpu.config import ModelConfig
-from vda_tpu.parallel.mesh import DATA_AXIS, make_mesh, param_shardings
+from vda_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    param_shardings,
+    to_tp_layout,
+)
 from vda_tpu.parallel.train import (
     TrainState,
     init_train_state,
@@ -38,8 +43,17 @@ def train(
 
     data_iter yields dicts with video (B,T,H,W,3), depth (B,T,H,W),
     mask (B,T,H,W); B must be divisible by the data-parallel degree.
+
+    Under tp > 1 the params are converted to the head-aligned TP layout
+    (mesh.to_tp_layout — checkpoints save in that layout; run
+    ``from_tp_layout`` before exporting weights elsewhere) and the model
+    runs with cfg.tp_layout=True so attention projections stay
+    shard-aligned.
     """
     mesh = make_mesh(tp=tp)
+    if tp > 1:
+        params = to_tp_layout(params)
+        cfg = cfg.replace(tp_layout=True)
     params = jax.device_put(params, param_shardings(params, mesh))
     optimizer = make_optimizer(learning_rate)
     state = init_train_state(params, optimizer)
