@@ -23,6 +23,14 @@ engine.py:275-330), EXR input reading, UHD 4096x2160 cap resize
 (engine.py:69-133), near/far normalization + inversion for Nuke
 (engine.py:1099-1141), EXR output with PNG fallback (engine.py:891-935),
 MP4 visualization with metadata embedding (engine.py:1143-1274).
+
+DELIBERATELY NOT rebuilt: engine_backup's last-ditch "simple gradient-based
+depth" fallback (reference external_engine/engine_backup.py:1310-1352),
+which emits a Sobel-edge pseudo-depth when the model cannot run at all.  It
+produces misleading non-depth output with the same filename conventions as
+real results; this engine's degradation ladder (_infer_with_degradation)
+instead ends at the CPU tier and reports a hard error beyond that, so a
+failed job is visibly failed rather than silently wrong.
 """
 
 from __future__ import annotations

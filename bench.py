@@ -42,7 +42,8 @@ def main():
     params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
     params = cast_params_for_inference(params)
 
-    mb = int(os.environ.get("VDA_BENCH_MB", "16"))
+    # mb=32 (no tail scan chunking) measured 357.9 vs 359.2 ms p50 at mb=16
+    mb = int(os.environ.get("VDA_BENCH_MB", "32"))
 
     @jax.jit
     def step(params, x):

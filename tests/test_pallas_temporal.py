@@ -71,3 +71,47 @@ def test_fused_gate_conditions():
     assert not fused_block_supported(256, 32, "ape", 8, n_attn=1)
     assert fused_block_supported(256, 32, "ape", 8)
 
+
+def test_attn_fused_matches_unfused_wide():
+    """Attention-only fusion for wide modules (C=1024, the vitl mm0/mm1
+    shape class) must match LN -> _temporal_attention -> residual."""
+    from vda_tpu.ops.pallas_temporal import (
+        attention_block_fused,
+        attn_fused_supported,
+    )
+
+    cfg = get_config("vitl")
+    c, bd, t = 1024, 37, 32
+    assert attn_fused_supported(c, t, cfg.pe, cfg.num_attention_heads)
+    assert not attn_fused_supported(256, t, cfg.pe, 8)   # narrow: full block
+    p = T.init_temporal_module(jax.random.PRNGKey(6), c, cfg)
+    bp = p["blocks"][0]
+    h = jax.random.normal(jax.random.PRNGKey(7), (bd, t, c),
+                          jnp.float32).astype(jnp.bfloat16)
+
+    hn = T.layer_norm(bp["norms"][0], h, eps=1e-5)
+    attn_out, _ = T._temporal_attention(bp["attn"][0], hn, cfg, None)
+    ref = np.asarray(attn_out + h, np.float32)
+
+    pe = jnp.asarray(T._sinusoidal_pe(t, c))
+    got = np.asarray(attention_block_fused(
+        bp["attn"][0], bp["norms"][0], h, pe,
+        heads=cfg.num_attention_heads, seq=t), np.float32)
+    denom = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(ref - got).max() / denom < 2e-2
+
+
+def test_module_path_wide_fused_matches():
+    """temporal_module_apply need_caches=False at C=1024 routes attention
+    through the fused kernel and must match the cached path."""
+    cfg = get_config("vitl")
+    c = 1024
+    p = T.init_temporal_module(jax.random.PRNGKey(8), c, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 32, 5, 6, c),
+                          jnp.float32).astype(jnp.bfloat16)
+    ref, caches = T.temporal_module_apply(p, x, cfg, None, need_caches=True)
+    got, nc = T.temporal_module_apply(p, x, cfg, None, need_caches=False)
+    assert len(caches) == 2 and nc == []
+    r = np.asarray(ref, np.float32)
+    g = np.asarray(got, np.float32)
+    assert np.abs(r - g).max() / max(np.abs(r).max(), 1e-6) < 2e-2

@@ -256,10 +256,28 @@ def _on_tpu_or_interpret() -> bool:
     return _on_tpu() or os.environ.get("VDA_PALLAS_INTERPRET", "0") == "1"
 
 
-def _transformer_block(p, h, cfg: ModelConfig, caches, want_kv: bool = False):
+def _transformer_block(p, h, cfg: ModelConfig, caches, want_kv: bool = False,
+                       need_caches: bool = True):
     """h: (BD, T_new, C).  Reference motion_module.py:172-189."""
+    c = h.shape[-1]
+    from vda_tpu.ops.pallas_temporal import attn_fused_supported
+    use_attn_fused = (caches is None and not want_kv and not need_caches
+                      and not cfg.tp_layout
+                      and attn_fused_supported(c, h.shape[1], cfg.pe,
+                                               cfg.num_attention_heads)
+                      and _on_tpu_or_interpret())
     out_caches = []
     for i in range(cfg.num_attention_blocks):
+        if use_attn_fused:
+            # wide-C offline path (vitl mm0/mm1): whole attention sub-block
+            # in one kernel, weights VMEM-resident (ops/pallas_temporal)
+            from vda_tpu.ops.pallas_temporal import attention_block_fused
+            pe_table = jnp.asarray(_sinusoidal_pe(h.shape[1], c))
+            h = attention_block_fused(p["attn"][i], p["norms"][i], h,
+                                      pe_table,
+                                      heads=cfg.num_attention_heads,
+                                      seq=h.shape[1])
+            continue
         hn = layer_norm(p["norms"][i], h, eps=1e-5)
         attn_out, input_hs = _temporal_attention(
             p["attn"][i], hn, cfg, caches[i] if caches is not None else None,
@@ -332,7 +350,8 @@ def temporal_module_apply(
             if cache_list is not None:
                 caches = cache_list[i * n_per:(i + 1) * n_per]
             h, out_caches = _transformer_block(bp, h, cfg, caches,
-                                               want_kv=want_kv)
+                                               want_kv=want_kv,
+                                               need_caches=need_caches)
             all_caches.extend(out_caches)
 
     h = h.reshape(b, hh * ww, t, c).transpose(0, 2, 1, 3)

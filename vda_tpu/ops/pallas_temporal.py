@@ -138,6 +138,84 @@ def _block_kernel(h_ref, pe_ref,
     o_ref[...] = h + ff.astype(h.dtype)
 
 
+def _attn_only_kernel(h_ref, pe_ref, ns_ref, nb_ref, wqkv_ref, wout_ref,
+                      bout_ref, o_ref, *, heads: int, seq: int):
+    rows = h_ref.shape[0]
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // seq
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // seq
+    same = row_blk == col_blk
+    h = h_ref[...]
+    o_ref[...] = _attention(h, pe_ref[...].astype(h.dtype), ns_ref[...],
+                            nb_ref[...], wqkv_ref[...], wout_ref[...],
+                            bout_ref[...], heads=heads, seq=seq, same=same,
+                            sub_rows=rows)
+
+
+def attn_fused_supported(c: int, t: int, pe: str, heads: int) -> bool:
+    """Attention-only fusion for the WIDE modules (vitl mm0/mm1 C=1024):
+    the attention weights (c, 3c)+(c, c) ~8.3 MB bf16 fit VMEM-resident,
+    the GEGLU FF does not (16+8 MB) and stays on XLA."""
+    return (pe == "ape" and _MAX_FUSED_WIDTH < c <= 1024 and t <= 64
+            and c % 128 == 0 and c % heads == 0 and (c // heads) % 8 == 0)
+
+
+def attention_block_fused(ap, np_, h, pe_table, *, heads: int, seq: int,
+                          rows_per_tile: int = 256):
+    """One LN -> +PE -> qkv -> block-diag attention -> out-proj -> residual,
+    fused, for modules whose FF is too wide to co-reside (C=1024).
+
+    ap: attention params {to_q,to_k,to_v,to_out}; np_: the block's LN params
+    for this attention ({"scale","bias"}).  h: (BD, T, C).  The row tile is
+    256 (not 512): the resident weights leave ~half the VMEM of the C=256
+    full-block kernel.
+    """
+    bd, t, c = h.shape
+    assert t == seq
+    g = max(rows_per_tile // seq, 1)
+    tile = g * seq
+    pad_bd = (-bd) % g
+    if pad_bd:
+        h = jnp.pad(h, ((0, pad_bd), (0, 0), (0, 0)))
+    total = (bd + pad_bd) * seq
+    hf = h.reshape(total, c)
+    pe_tile = jnp.tile(pe_table.astype(jnp.float32), (g, 1))
+    wqkv = jnp.concatenate(
+        [ap["to_q"]["w"], ap["to_k"]["w"], ap["to_v"]["w"]], axis=1
+    ).astype(h.dtype)
+
+    operands = [
+        hf, pe_tile, np_["scale"].reshape(1, -1), np_["bias"].reshape(1, -1),
+        wqkv, ap["to_out"]["w"].astype(h.dtype),
+        ap["to_out"]["b"].reshape(1, -1),
+    ]
+
+    def tile_spec():
+        return pl.BlockSpec((tile, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_attn_only_kernel, heads=heads, seq=seq)
+    out = pl.pallas_call(
+        kernel,
+        grid=(total // tile,),
+        in_specs=[tile_spec(), full_spec(pe_tile)]
+        + [full_spec(a) for a in operands[2:]],
+        out_specs=tile_spec(),
+        out_shape=jax.ShapeDtypeStruct((total, c), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * c * 4 * c + 4 * total * tile * c,
+            bytes_accessed=2 * total * c * h.dtype.itemsize,
+            transcendentals=total * tile * heads,
+        ),
+        interpret=_interpret(),
+    )(*operands)
+    out = out.reshape(bd + pad_bd, seq, c)
+    return out[:bd] if pad_bd else out
+
+
 def fused_block_supported(c: int, t: int, pe: str, heads: int,
                           n_attn: int = 2) -> bool:
     """The kernel body hardcodes the reference block structure: exactly two
