@@ -171,6 +171,9 @@ def attention_block_fused(ap, np_, h, pe_table, *, heads: int, seq: int,
     """
     bd, t, c = h.shape
     assert t == seq
+    import os as _os
+    if _os.environ.get("VDA_ATTN_FUSED_RPT"):
+        rows_per_tile = int(_os.environ["VDA_ATTN_FUSED_RPT"])  # sweep knob
     g = max(rows_per_tile // seq, 1)
     tile = g * seq
     pad_bd = (-bd) % g
