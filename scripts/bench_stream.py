@@ -83,16 +83,47 @@ def main():
         ms = slope({"lo": make(2), "hi": make(6)}, (params, x))
         print(f"batch-1 encoder: {ms:.2f} ms", flush=True)
 
+    if "asm" in stages:
+        # one-hot context assembly over the kv buffers (streaming._stream_step
+        # lines 85-94): 16 arrays (4 module shapes x 2 attn blocks x k,v),
+        # each (BHW, 44, C) -> (BHW, 31, C)
+        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX
+        shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
+        bufs = []
+        for bhw, c in shapes:
+            bufs += [jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16)] * 4
+        idx = jnp.arange(_CTX, dtype=jnp.int32)
+
+        def make(k):
+            @jax.jit
+            def f(bufs, idx):
+                acc = None
+                for _ in range(k):
+                    sel = jax.nn.one_hot(idx, _BUF_ROWS, dtype=jnp.bfloat16)
+                    outs = [jnp.einsum("rt,btc->brc", sel, b) for b in bufs]
+                    s = sum(o[:1, :1, :1].astype(jnp.float32).sum()
+                            for o in outs)
+                    idx = (idx + (s * 1e-12).astype(jnp.int32)) % _BUF_ROWS
+                    acc = s
+                return acc
+            return f
+
+        ms = slope({"lo": make(2), "hi": make(6)}, (bufs, idx))
+        print(f"one-hot context assembly (16 kv buffers): {ms:.2f} ms",
+              flush=True)
+
     if "head" in stages:
         from vda_tpu.models.vda import forward_depth, forward_features
         x = jnp.ones((1, 1, 518, 518, 3), jnp.bfloat16)
         feats0 = jax.jit(
             lambda p, x: forward_features(p, x, cfg, "auto"))(params, x)
-        # 31-entry caches at the 4 module shapes x 2 attn blocks
+        # 31-entry caches at the 4 module shapes x 2 attn blocks, kv mode
+        # (the product streaming default)
         shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
         caches = []
         for bhw, c in shapes:
-            caches += [jnp.ones((bhw, 31, c), jnp.bfloat16)] * 2
+            caches += [(jnp.ones((bhw, 31, c), jnp.bfloat16),
+                        jnp.ones((bhw, 31, c), jnp.bfloat16))] * 2
 
         def make(k):
             @jax.jit
@@ -100,15 +131,18 @@ def main():
                 d = None
                 for _ in range(k):
                     d, new = forward_depth(params, feats, (1, 1, 518, 518, 3),
-                                           cfg, cached_hidden_state_list=caches)
+                                           cfg, cached_hidden_state_list=caches,
+                                           cache_kind="kv")
                     caches = [
-                        jnp.concatenate([c[:, 1:], n.astype(c.dtype)], axis=1)
-                        for c, n in zip(caches, new)]
+                        tuple(jnp.concatenate([c[:, 1:], n.astype(c.dtype)],
+                                              axis=1)
+                              for c, n in zip(cs, ns))
+                        for cs, ns in zip(caches, new)]
                 return d[..., :1, :1]
             return f
 
         ms = slope({"lo": make(2), "hi": make(6)}, (params, feats0, caches))
-        print(f"head with 31-entry cache: {ms:.2f} ms", flush=True)
+        print(f"head with 31-entry kv cache: {ms:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
