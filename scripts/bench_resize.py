@@ -22,8 +22,14 @@ from vda_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-B, H, W, C = 32, 296, 296, 128
-OH, OW = 518, 518
+import os
+
+B = int(os.environ.get("RB_B", "32"))
+H = int(os.environ.get("RB_H", "296"))
+W = int(os.environ.get("RB_W", str(H)))
+C = int(os.environ.get("RB_C", "128"))
+OH = int(os.environ.get("RB_OH", "518"))
+OW = int(os.environ.get("RB_OW", str(OH)))
 
 
 def sync(r):
@@ -58,7 +64,8 @@ def slope(f, args, lo=2, hi=6, reps=5):
 def main():
     from vda_tpu.ops.resize import _linear_matrix
 
-    want = sys.argv[1:] or ["base", "tlast", "wfirst", "padk", "fused1d"]
+    want = sys.argv[1:] or ["base", "tlast", "wfirst", "padk", "fused1d",
+                            "pallas"]
     x = jnp.ones((B, H, W, C), jnp.bfloat16)
     ah = jnp.asarray(_linear_matrix(H, OH, True)).astype(jnp.bfloat16)
     aw = jnp.asarray(_linear_matrix(W, OW, True)).astype(jnp.bfloat16)
@@ -113,6 +120,19 @@ def main():
             return z.astype(jnp.bfloat16)
         print(f"padk (K 296->384): {slope(padk, (x, ahp, awp)):.2f} ms",
               flush=True)
+
+    if "pallas" in want:
+        from vda_tpu.ops.pallas_resize import (
+            resize_bilinear_fused,
+            supported,
+        )
+
+        assert supported(x, (OH, OW), True, None)
+
+        def pallas(x):
+            return resize_bilinear_fused(x, (OH, OW))
+        print(f"pallas (fused H-lerp + in-VMEM W matmul): "
+              f"{slope(pallas, (x,)):.2f} ms", flush=True)
 
     if "fused1d" in want:
         # one einsum, both axes at once (XLA picks the schedule)

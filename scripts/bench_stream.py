@@ -66,6 +66,85 @@ def main():
         ms = (time.perf_counter() - t0) / 32 * 1e3
         print(f"streaming e2e (pipelined): {ms:.2f} ms/frame", flush=True)
 
+    if "step" in stages:
+        # TRUE in-graph cost of one full _stream_step (preprocess + encoder +
+        # assembly + head + out-resize + buffer writes), dispatch excluded:
+        # k steps chained in ONE jit, buffers threaded through.  The gap
+        # between this and the pipelined e2e number is host/dispatch overhead.
+        #
+        # Two artifacts this harness defeats (both measured, both lied):
+        #   * DCE: accumulating a scalar of EVERY step's depth — otherwise
+        #     XLA dead-code-eliminates the DPT tail of all but the last step
+        #     (6.9 vs 13.9 ms measured).
+        #   * CSE: each step gets a DIFFERENT frame — with one shared frame
+        #     XLA computes the encoder ONCE for all chained steps and the
+        #     "marginal step" excludes the encoder entirely (10.3 vs ~17.5 ms
+        #     measured).
+        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX, _stream_step
+        shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
+        buffers = []
+        for bhw, c in shapes:
+            buffers += [(jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16),
+                         jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16))] * 2
+        frames = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (6, 518, 518, 3), np.uint8))
+        ctx = jnp.arange(_CTX, dtype=jnp.int32)
+        inner = _stream_step.__wrapped__  # un-jitted body
+
+        def make(k):
+            # no donation: slope() re-calls with the same buffers arg
+            @jax.jit
+            def f(params, frames, buffers, ctx):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    d, buffers = inner(
+                        params, frames[i], buffers, ctx,
+                        jnp.int32(i % _BUF_ROWS),
+                        cfg, (518, 518), (518, 518), jnp.bfloat16, "auto",
+                        "kv")
+                    acc = acc + d[0, 0]
+                return acc
+            return f
+
+        ms = slope({"lo": make(2), "hi": make(6)},
+                   (params, frames, buffers, ctx))
+        print(f"full stream step in-graph: {ms:.2f} ms", flush=True)
+
+    if "gstep" in stages:
+        # in-graph cost of one _stream_step_group(k=4) dispatch (4 frames).
+        # Distinct frames per chained group (CSE) and a scalar consuming
+        # every group's depths (DCE) — see the "step" stage comment.
+        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX, _stream_step_group
+        shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
+        buffers = []
+        for bhw, c in shapes:
+            buffers += [(jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16),
+                         jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16))] * 2
+        frames = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (3, 4, 518, 518, 3), np.uint8))
+        ctx = jnp.tile(jnp.arange(_CTX, dtype=jnp.int32)[None], (4, 1))
+        wp = jnp.arange(4, dtype=jnp.int32)
+        inner = _stream_step_group.__wrapped__
+
+        def make(k):
+            @jax.jit
+            def f(params, frames, buffers, ctx, wp):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    d, buffers = inner(
+                        params, frames[i], buffers, ctx, wp, cfg, (518, 518),
+                        (518, 518), jnp.bfloat16, "auto", "kv", 4)
+                    acc = acc + d.sum()
+                return acc
+            return f
+
+        ms = slope({"lo": make(1), "hi": make(3)},
+                   (params, frames, buffers, ctx, wp), lo=1, hi=3)
+        print(f"group(4) step in-graph: {ms:.2f} ms ({ms/4:.2f} ms/frame)",
+              flush=True)
+
     if "enc" in stages:
         from vda_tpu.models.vda import forward_features
         x = jnp.ones((1, 1, 518, 518, 3), jnp.bfloat16)
@@ -128,7 +207,7 @@ def main():
         def make(k):
             @jax.jit
             def f(params, feats, caches):
-                d = None
+                acc = jnp.float32(0)  # consume every depth (defeat DCE)
                 for _ in range(k):
                     d, new = forward_depth(params, feats, (1, 1, 518, 518, 3),
                                            cfg, cached_hidden_state_list=caches,
@@ -138,7 +217,8 @@ def main():
                                               axis=1)
                               for c, n in zip(cs, ns))
                         for cs, ns in zip(caches, new)]
-                return d[..., :1, :1]
+                    acc = acc + d[0, 0, 0].astype(jnp.float32)
+                return acc
             return f
 
         ms = slope({"lo": make(2), "hi": make(6)}, (params, feats0, caches))

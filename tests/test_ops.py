@@ -46,6 +46,50 @@ class TestResize:
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
 
+    def test_bilinear_pallas_fused_matches_matmul_form(self, monkeypatch):
+        # The fused Pallas upsample (ops/pallas_resize, interpret mode here)
+        # must match the fp32 separable ground truth to bf16 precision at
+        # shapes the `supported` gate admits (bf16, C%128==0, upscale,
+        # H_out divisible by a row block).  The kernel is opt-in (it loses
+        # the full window to XLA overlap; see ops/pallas_resize._disabled).
+        monkeypatch.setenv("VDA_RESIZE_KERNEL", "1")
+        from vda_tpu.ops import pallas_resize
+
+        for shape, out_hw in [((8, 20, 24, 128), (32, 40)),
+                              ((8, 148, 16, 128), (296, 28)),
+                              ((9, 9, 7, 256), (14, 13))]:
+            x32 = RNG.standard_normal(shape).astype(np.float32)
+            x = jnp.asarray(x32, jnp.bfloat16)
+            assert pallas_resize.supported(x, out_hw, True, None)
+            got = np.asarray(pallas_resize.resize_bilinear_fused(
+                x, out_hw)).astype(np.float32)
+            ref = np.asarray(resize_bilinear(
+                jnp.asarray(np.asarray(x, np.float32)), out_hw,
+                align_corners=True))
+            np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.02)
+            # and resize_bilinear itself dispatches to the kernel
+            via = np.asarray(resize_bilinear(x, out_hw,
+                                             align_corners=True)
+                             ).astype(np.float32)
+            np.testing.assert_array_equal(got, via)
+
+    def test_bilinear_pallas_gate_rejections(self, monkeypatch):
+        monkeypatch.setenv("VDA_RESIZE_KERNEL", "1")
+        from vda_tpu.ops import pallas_resize
+
+        ok = jnp.ones((8, 20, 24, 128), jnp.bfloat16)
+        assert pallas_resize.supported(ok, (32, 40), True, None)
+        assert not pallas_resize.supported(       # fp32 input
+            jnp.ones((8, 20, 24, 128), jnp.float32), (32, 40), True, None)
+        assert not pallas_resize.supported(       # lanes not 128-aligned
+            jnp.ones((8, 20, 24, 64), jnp.bfloat16), (32, 40), True, None)
+        assert not pallas_resize.supported(       # batch-1 (streaming) loses
+            jnp.ones((1, 20, 24, 128), jnp.bfloat16), (32, 40), True, None)
+        assert not pallas_resize.supported(ok, (10, 40), True, None)  # down
+        assert not pallas_resize.supported(ok, (32, 40), False, None)
+        assert not pallas_resize.supported(ok, (32, 40), True, (2.0, 2.0))
+        assert not pallas_resize.supported(ok, (37, 40), True, None)  # block
+
     def test_bilinear_gather_matches_matmul_form(self):
         from vda_tpu.ops.resize import resize_bilinear_gather
 

@@ -1,9 +1,10 @@
 """submit_group (k frames per dispatch) must reproduce sequential submits.
 
 The group step replays the exact per-frame context/eviction bookkeeping and
-runs the cached head steps sequentially in-graph; only the encoder is
-batched (a per-frame-independent function), so outputs must match the
-frame-by-frame path to numerical noise.
+runs the cache-coupled head stage sequentially in-graph, so the cache state
+is bit-identical to k submits; the encoder and the output tail are batched
+(per-frame-independent phases), so the depths match the frame-by-frame path
+to reduction-order noise only (rel <1e-5 under fp32, ~1 bf16 ulp in bf16).
 """
 
 import numpy as np

@@ -112,20 +112,42 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
 def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
                        cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
                        cache_kind, k: int):
-    """k causal steps in ONE dispatch: the encoder runs batched over the k
-    frames (a 1-frame batch under-utilizes the chip), then the cached head
-    steps run sequentially in-graph with the exact per-frame context
-    bookkeeping (``ctx_idx``/``write_pos`` rows per step) — results are
-    identical to k individual ``_stream_step`` calls; only latency (up to k
-    frames of buffering) trades for throughput.
+    """k causal steps in ONE dispatch: batch what causality allows.
+
+    Frame j+1's temporal attention reads frame j's cache row, so the steps
+    cannot simply be batched — but the dependency flows ONLY through the
+    cache.  Three phases, all in one executable:
+
+      1. encoder over all k frames in one batch (per-frame ViT; batch-1 is
+         MXU-starved at 1370 tokens),
+      2. the cache-coupled head stage per frame in order
+         (models/dpt.dpt_head_temporal_stage: tap projections, the four
+         TemporalModules, refinenets 4/3 — all at <= 74x74, the cheap part),
+      3. ONE batched output tail for all k frames
+         (dpt_head_temporal_tail: refinenets 2/1 + output convs at
+         148²..518², ~2/3 of the head's cost, where batch-1 wastes the chip).
+
+    The cache contents (and so every later frame) are identical to k
+    individual ``_stream_step`` calls — the cache is written by the
+    sequential stage.  The depths agree to reduction-order noise only
+    (~1 bf16 ulp; rel <1e-5 under fp32): the batched tail reassociates
+    conv reductions vs the batch-1 tail.  Latency (up to k frames of
+    buffering) trades for throughput.
 
     ctx_idx: (k, 31) int32; write_pos: (k,) int32.
     """
-    x = preprocess_frames(frames_u8, net_hw, dtype=dtype)[None]  # (1,k,h,w,3)
-    feats = forward_features(params, x, cfg, attn_impl)  # taps (k, N, D)
+    from vda_tpu.models.dpt import (
+        dpt_head_temporal_stage,
+        dpt_head_temporal_tail,
+    )
     from vda_tpu.ops.resize import resize_bilinear
 
-    depths = []
+    x = preprocess_frames(frames_u8, net_hw, dtype=dtype)[None]  # (1,k,h,w,3)
+    feats = forward_features(params, x, cfg, attn_impl)  # taps (k, N, D)
+    nh, nw = x.shape[2], x.shape[3]
+    patch_hw = (nh // cfg.vit.patch_size, nw // cfg.vit.patch_size)
+
+    stage_outs = []
     for j in range(k):
         feats_j = [(t[j:j + 1], None if c is None else c[j:j + 1])
                    for t, c in feats]
@@ -135,20 +157,26 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
             return jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))
 
         cache_list = jax.tree_util.tree_map(ctx, buffers)
-        shape_j = (1, 1) + x.shape[2:]
-        depth, new_caches = forward_depth(params, feats_j, shape_j, cfg,
-                                          cached_hidden_state_list=cache_list,
-                                          cache_kind=cache_kind)
-        depths.append(resize_bilinear(
-            depth[0][..., None].astype(jnp.float32), out_hw,
-            align_corners=True)[0, ..., 0])
+        stage_out, new_caches = dpt_head_temporal_stage(
+            params["head"], feats_j, patch_hw, 1, cfg,
+            cached_hidden_state_list=cache_list, cache_kind=cache_kind)
+        stage_outs.append(stage_out)
         wp = write_pos[j]
 
         def write(buf, nc, wp=wp):
             return buf.at[:, wp].set(nc[:, 0].astype(buf.dtype))
 
         buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
-    return jnp.stack(depths), buffers
+
+    batched = tuple(jnp.concatenate([s[i] for s in stage_outs])
+                    for i in range(3))
+    depth = dpt_head_temporal_tail(params["head"], batched, patch_hw,
+                                   micro_batch_size=k)      # (k, nh', nw', 1)
+    depth = resize_bilinear(depth, (nh, nw), align_corners=True)
+    depth = jax.nn.relu(depth)
+    depths = resize_bilinear(depth.astype(jnp.float32), out_hw,
+                             align_corners=True)[..., 0]
+    return depths, buffers
 
 
 def _advance_bookkeeping(step_id: int, order: List[int], free: List[int]):
@@ -262,16 +290,16 @@ class StreamingDepth:
         """Throughput mode: process k frames in ONE dispatch.
 
         frames: (k, H, W, 3) uint8.  Returns depths (k, H, W) fp32 as a
-        device array.  Bit-for-bit the same results as k ``submit`` calls
-        (the per-frame context/eviction bookkeeping is replayed exactly and
-        the head steps run sequentially in-graph); the win is one dispatch
-        instead of k plus a k-frame encoder batch.  Measured (vitl, v5e):
-        on-device neutral (~22 vs ~21 ms/frame — the batch-1 encoder is
-        already efficient and async dispatch hides per-step overhead), but
-        ~10% faster end-to-end through a high-latency link (149 -> 134
-        ms/frame on this dev tunnel) because per-frame dispatch round trips
-        collapse k-fold.  The tradeoff is latency: the first frame's depth
-        arrives only after all k are captured.
+        device array.  The per-frame context/eviction bookkeeping is
+        replayed exactly and the cache-coupled head stage runs sequentially
+        in-graph, so the CACHE STATE (and every subsequent frame) is
+        bit-identical to k ``submit`` calls; the k depths agree to
+        reduction-order noise (~1 bf16 ulp, rel <1e-5 under fp32) because
+        the encoder and the output tail run batched over the k frames
+        (``_stream_step_group``).  The win is one dispatch instead of k,
+        plus MXU-efficient batching of the two per-frame-independent phases.
+        The tradeoff is latency: the first frame's depth arrives only after
+        all k are captured.
 
         The stream must be initialized first (call ``submit`` once for the
         anchor frame, reference video_depth_stream.py:104-121).

@@ -261,29 +261,28 @@ def _with_temporal(p_mm, x, cfg, frame_length, cache, want_kv=False,
     return yt.reshape(bt, hh, ww, c), new_cache
 
 
-def dpt_head_temporal_apply(
+def dpt_head_temporal_stage(
     p,
     features,
     patch_hw: Tuple[int, int],
     frame_length: int,
     cfg: ModelConfig,
     cached_hidden_state_list: Optional[List] = None,
-    micro_batch_size: int = 4,
     cache_kind: str = "h",
     need_caches: bool = True,
 ):
-    """DPTHeadTemporal forward (reference dpt_temporal.py:53-125).
+    """Cache-coupled front of DPTHeadTemporal (reference dpt_temporal.py:
+    53-123 up to the refinenet3 output).
 
-    features: list of 4 (tokens (B*T, N, D), cls) taps, T == frame_length
-    (number of NEW frames; 32 offline, 1 streaming).
-    Returns (depth (B*T, 14*ph, 14*pw, 1), new_cache_list[8]).
-
-    cache_kind: "h" returns/consumes pre-PE hidden states (the reference's
-    cache, dpt_temporal.py:74-93); "kv" returns/consumes (k, v) pre-PE
-    projection tuples (streaming fast path, models/temporal.py
-    ``_temporal_attention_kv``).  need_caches=False (offline windows, where
-    the caller discards the cache) unlocks the fused temporal-block kernel
-    and returns an empty cache list.
+    Everything that reads or writes the temporal cache lives here: tap
+    projections, the four TemporalModules, the rn convs, and refinenets 4/3
+    (all at <= 74x74 resolution).  Returns ((path_3, l2, l1), new_cache_list)
+    — the inputs of ``dpt_head_temporal_tail``.  The split exists for
+    streaming group mode (infer/streaming._stream_step_group): per-frame
+    causality flows ONLY through the cache, so k frames must run this stage
+    sequentially but can share ONE batched tail (the tail is ~2/3 of the
+    head's cost and runs at 148^2..518^2 where batch-1 under-utilizes the
+    chip).
     """
     ph, pw = patch_hw
     n_mm = len(p["motion_modules"])
@@ -319,23 +318,64 @@ def dpt_head_temporal_apply(
     path_3, h3 = _with_temporal(p["motion_modules"][3], path_3, cfg,
                                 frame_length, cache_slice(3), want_kv,
                                 need_caches)
+    return (path_3, l2, l1), h0 + h1 + h2 + h3
 
+
+def dpt_head_temporal_tail(p, stage_out, patch_hw: Tuple[int, int],
+                           micro_batch_size: int = 4):
+    """Per-frame-independent back of DPTHeadTemporal: refinenet2/1 + output
+    convs (reference dpt_temporal.py:96-123).  stage_out is
+    ``dpt_head_temporal_stage``'s (path_3, l2, l1); batch is B*T.  Chunks the
+    batch through a lax.scan when it divides micro_batch_size (bounds the
+    518^2 intermediates' working set at offline window sizes)."""
+    path_3, l2, l1 = stage_out
+    ph, pw = patch_hw
     out_hw = (ph * 14, pw * 14)
     batch = l1.shape[0]
     if batch <= micro_batch_size or batch % micro_batch_size != 0:
-        depth = _output_tail(p, path_3, l2, l1, out_hw)
-    else:
-        mb = micro_batch_size
-        nc = batch // mb
+        return _output_tail(p, path_3, l2, l1, out_hw)
+    mb = micro_batch_size
+    nc = batch // mb
 
-        def chunk(x):
-            return x.reshape(nc, mb, *x.shape[1:])
+    def chunk(x):
+        return x.reshape(nc, mb, *x.shape[1:])
 
-        def body(_, xs):
-            p3, x2, x1 = xs
-            return None, _output_tail(p, p3, x2, x1, out_hw)
+    def body(_, xs):
+        p3, x2, x1 = xs
+        return None, _output_tail(p, p3, x2, x1, out_hw)
 
-        _, depth = jax.lax.scan(body, None, (chunk(path_3), chunk(l2), chunk(l1)))
-        depth = depth.reshape(batch, *depth.shape[2:])
+    _, depth = jax.lax.scan(body, None, (chunk(path_3), chunk(l2), chunk(l1)))
+    return depth.reshape(batch, *depth.shape[2:])
 
-    return depth, h0 + h1 + h2 + h3
+
+def dpt_head_temporal_apply(
+    p,
+    features,
+    patch_hw: Tuple[int, int],
+    frame_length: int,
+    cfg: ModelConfig,
+    cached_hidden_state_list: Optional[List] = None,
+    micro_batch_size: int = 4,
+    cache_kind: str = "h",
+    need_caches: bool = True,
+):
+    """DPTHeadTemporal forward (reference dpt_temporal.py:53-125).
+
+    features: list of 4 (tokens (B*T, N, D), cls) taps, T == frame_length
+    (number of NEW frames; 32 offline, 1 streaming).
+    Returns (depth (B*T, 14*ph, 14*pw, 1), new_cache_list[8]).
+
+    cache_kind: "h" returns/consumes pre-PE hidden states (the reference's
+    cache, dpt_temporal.py:74-93); "kv" returns/consumes (k, v) pre-PE
+    projection tuples (streaming fast path, models/temporal.py
+    ``_temporal_attention_kv``).  need_caches=False (offline windows, where
+    the caller discards the cache) unlocks the fused temporal-block kernel
+    and returns an empty cache list.
+    """
+    stage_out, caches = dpt_head_temporal_stage(
+        p, features, patch_hw, frame_length, cfg,
+        cached_hidden_state_list=cached_hidden_state_list,
+        cache_kind=cache_kind, need_caches=need_caches)
+    depth = dpt_head_temporal_tail(p, stage_out, patch_hw,
+                                   micro_batch_size=micro_batch_size)
+    return depth, caches

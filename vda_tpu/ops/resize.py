@@ -169,6 +169,9 @@ def resize_bilinear(x, out_hw, align_corners: bool = True, scale=None):
     oh, ow = out_hw
     if (oh, ow) == (h, w) and (align_corners or scale is None):
         return x
+    from vda_tpu.ops import pallas_resize  # local: avoids import cycle
+    if pallas_resize.supported(x, out_hw, align_corners, scale):
+        return pallas_resize.resize_bilinear_fused(x, out_hw)
     sh, sw = (scale if scale is not None else (None, None))
     return _apply_separable(
         x,
