@@ -80,12 +80,18 @@ def main():
         #     XLA computes the encoder ONCE for all chained steps and the
         #     "marginal step" excludes the encoder entirely (10.3 vs ~17.5 ms
         #     measured).
-        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX, _stream_step
+        from vda_tpu.infer.streaming import (
+            _BUF_ROWS,
+            _CTX,
+            _pad_rows,
+            _stream_step,
+        )
         shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
         buffers = []
         for bhw, c in shapes:
-            buffers += [(jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16),
-                         jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16))] * 2
+            bp = _pad_rows(bhw)
+            buffers += [(jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16),
+                         jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16))] * 2
         frames = jnp.asarray(
             np.random.default_rng(0).integers(
                 0, 255, (6, 518, 518, 3), np.uint8))
@@ -111,16 +117,62 @@ def main():
                    (params, frames, buffers, ctx))
         print(f"full stream step in-graph: {ms:.2f} ms", flush=True)
 
+    if "dstep" in stages:
+        # in-graph cost of the steady-state DIRECT step (_stream_step_direct:
+        # in-place ring-buffer attention, no context assembly).  Same
+        # DCE/CSE-defeating harness as "step".
+        from vda_tpu.infer.streaming import (
+            _BUF_ROWS,
+            _pad_rows,
+            _pos_map,
+            _stream_step_direct,
+        )
+        shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
+        buffers = []
+        for bhw, c in shapes:
+            bp = _pad_rows(bhw)
+            buffers += [(jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16),
+                         jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16))] * 2
+        frames = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (6, 518, 518, 3), np.uint8))
+        pm, valid = _pos_map(list(range(31)))
+        pm, valid = jnp.asarray(pm), jnp.asarray(valid)
+        inner = _stream_step_direct.__wrapped__
+
+        def make(k):
+            @jax.jit
+            def f(params, frames, buffers, pm, valid):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    d, buffers = inner(
+                        params, frames[i], buffers, pm, valid,
+                        jnp.int32(32 + i), cfg, (518, 518), (518, 518),
+                        jnp.bfloat16, "auto")
+                    acc = acc + d[0, 0]
+                return acc
+            return f
+
+        ms = slope({"lo": make(2), "hi": make(6)},
+                   (params, frames, buffers, pm, valid))
+        print(f"direct stream step in-graph: {ms:.2f} ms", flush=True)
+
     if "gstep" in stages:
         # in-graph cost of one _stream_step_group(k=4) dispatch (4 frames).
         # Distinct frames per chained group (CSE) and a scalar consuming
         # every group's depths (DCE) — see the "step" stage comment.
-        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX, _stream_step_group
+        from vda_tpu.infer.streaming import (
+            _BUF_ROWS,
+            _CTX,
+            _pad_rows,
+            _stream_step_group,
+        )
         shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
         buffers = []
         for bhw, c in shapes:
-            buffers += [(jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16),
-                         jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16))] * 2
+            bp = _pad_rows(bhw)
+            buffers += [(jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16),
+                         jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16))] * 2
         frames = jnp.asarray(
             np.random.default_rng(0).integers(
                 0, 255, (3, 4, 518, 518, 3), np.uint8))

@@ -11,12 +11,20 @@ Rebuild of reference video_depth_anything/video_depth_stream.py:77-161:
     entry 1 once the window has slid past STREAM_GAP (reference :155-160)
 
 TPU-native design: each of the 8 cache slots is ONE device array of shape
-(B*H*W, _BUF_ROWS, C) — a fixed-capacity buffer, BHW-major so assembling the
-KV context is a transpose-free gather.  Every step runs one jitted function
-with fully static shapes: the 31-entry context is a ``jnp.take`` with a
-host-computed index vector (the only dynamic data, an int32 (31,) array), and
-the new cache row is written with ``.at[:, pos].set``.  No retracing, no
-growing Python lists of device arrays.
+(BHW_pad, _BUF_ROWS, C) — a fixed-capacity ring buffer, BHW-major (row-padded
+to the direct kernel's tile).  Every step runs one jitted function with fully
+static shapes and the new cache row is written with ``.at[:, pos].set``;
+no retracing, no growing Python lists of device arrays.  Two step flavors:
+
+  * warmup (``_stream_step``): the reference's replication trick maps the
+    anchor row into MANY context positions, so the 31-entry context is
+    materialized with a one-hot contraction over the buffer rows and fed to
+    the standard KV-cache attention,
+  * steady state (``_stream_step_direct``, once every context entry is a
+    distinct row): temporal attention reads the ring buffers IN PLACE via a
+    fused Pallas kernel (ops/pallas_stream) — the context selection becomes
+    a host-computed position-map + mask, and the ~1 GB/step
+    assemble-write-reread HBM traffic disappears.
 """
 
 from __future__ import annotations
@@ -46,6 +54,15 @@ _CTX = INFER_LEN - 1  # 31 context entries
 # (=42) entries, but within a step the new row is written BEFORE the eviction
 # (reference appends at :153 and deletes at :159), so one spare row is needed.
 _BUF_ROWS = STREAM_MAX_CACHE + 1
+
+
+def _pad_rows(n: int) -> int:
+    """Buffers are allocated with the BHW dim padded to the direct kernel's
+    row tile (ops/pallas_stream.ROW_TILE); pad rows stay zero forever and are
+    sliced off by every consumer."""
+    from vda_tpu.ops.pallas_stream import ROW_TILE
+
+    return -(-n // ROW_TILE) * ROW_TILE
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
@@ -100,18 +117,52 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
                         align_corners=True)[0, ..., 0]
 
     def write(buf, nc):
-        return buf.at[:, write_pos].set(nc[:, 0].astype(buf.dtype))
+        # nc is unpadded (BHW, 1, C); buffers carry _pad_rows(BHW) rows
+        return buf.at[:nc.shape[0], write_pos].set(nc[:, 0].astype(buf.dtype))
+
+    new_buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
+    return d, new_buffers
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw",
+                                             "dtype", "attn_impl"),
+                   donate_argnums=(2,))
+def _stream_step_direct(params, frame_u8, buffers, pos_map, valid, write_pos,
+                        cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl):
+    """Steady-state step: temporal attention reads the ring buffers in place.
+
+    No context assembly: ``pos_map`` ((_BUF_ROWS,) int32) gives each buffer
+    row's logical context position and ``valid`` masks the 31 live rows; the
+    fused kernel (ops/pallas_stream via models/temporal
+    ``_temporal_attention_kv_direct``) applies selection, PE and softmax in
+    one pass over the buffers.  Requires every context entry to be a distinct
+    row (true once the anchor replication of the warmup has drained —
+    ``StreamingDepth.submit`` checks and falls back to ``_stream_step``).
+    """
+    x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
+    feats = forward_features(params, x, cfg, attn_impl)
+    cache_list = [(k, v, pos_map, valid) for k, v in buffers]
+    depth, new_caches = forward_depth(params, feats, x.shape, cfg,
+                                      cached_hidden_state_list=cache_list,
+                                      cache_kind="kv")
+    from vda_tpu.ops.resize import resize_bilinear
+    d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
+                        align_corners=True)[0, ..., 0]
+
+    def write(buf, nc):
+        return buf.at[:nc.shape[0], write_pos].set(nc[:, 0].astype(buf.dtype))
 
     new_buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
     return d, new_buffers
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl", "cache_kind", "k"),
+                                             "attn_impl", "cache_kind", "k",
+                                             "direct"),
                    donate_argnums=(2,))
 def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
                        cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
-                       cache_kind, k: int):
+                       cache_kind, k: int, direct: bool = False):
     """k causal steps in ONE dispatch: batch what causality allows.
 
     Frame j+1's temporal attention reads frame j's cache row, so the steps
@@ -151,12 +202,19 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
     for j in range(k):
         feats_j = [(t[j:j + 1], None if c is None else c[j:j + 1])
                    for t, c in feats]
-        sel = jax.nn.one_hot(ctx_idx[j], _BUF_ROWS, dtype=dtype)
+        if direct:
+            # ctx_idx is ((k, _BUF_ROWS) pos_map, (k, _BUF_ROWS) valid) —
+            # steady-state in-place buffer attention, see _stream_step_direct
+            pos_map, valid = ctx_idx
+            cache_list = [(kb, vb, pos_map[j], valid[j])
+                          for kb, vb in buffers]
+        else:
+            sel = jax.nn.one_hot(ctx_idx[j], _BUF_ROWS, dtype=dtype)
 
-        def ctx(buf, sel=sel):
-            return jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))
+            def ctx(buf, sel=sel):
+                return jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))
 
-        cache_list = jax.tree_util.tree_map(ctx, buffers)
+            cache_list = jax.tree_util.tree_map(ctx, buffers)
         stage_out, new_caches = dpt_head_temporal_stage(
             params["head"], feats_j, patch_hw, 1, cfg,
             cached_hidden_state_list=cache_list, cache_kind=cache_kind)
@@ -164,7 +222,7 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
         wp = write_pos[j]
 
         def write(buf, nc, wp=wp):
-            return buf.at[:, wp].set(nc[:, 0].astype(buf.dtype))
+            return buf.at[:nc.shape[0], wp].set(nc[:, 0].astype(buf.dtype))
 
         buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
 
@@ -177,6 +235,20 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
     depths = resize_bilinear(depth.astype(jnp.float32), out_hw,
                              align_corners=True)[..., 0]
     return depths, buffers
+
+
+def _pos_map(ctx: List[int]):
+    """Row -> logical-context-position table for the direct kernel.
+
+    ctx: 31 DISTINCT buffer rows in context order.  Returns
+    (pos_map (_BUF_ROWS,) int32, valid (_BUF_ROWS,) bool): pos_map[r] is the
+    context position of row r (arbitrary where valid[r] is False)."""
+    pos_map = np.zeros((_BUF_ROWS,), np.int32)
+    valid = np.zeros((_BUF_ROWS,), np.bool_)
+    for i, r in enumerate(ctx):
+        pos_map[r] = i
+        valid[r] = True
+    return pos_map, valid
 
 
 def _advance_bookkeeping(step_id: int, order: List[int], free: List[int]):
@@ -264,8 +336,9 @@ class StreamingDepth:
             # replication trick (reference :118): the first frame's cache is
             # stored once; the first INFER_LEN logical entries all map to row 0
             def make_buf(row):
-                return (jnp.zeros((row.shape[0], _BUF_ROWS, row.shape[1]),
-                                  row.dtype).at[:, 0].set(row))
+                return (jnp.zeros((_pad_rows(row.shape[0]), _BUF_ROWS,
+                                   row.shape[1]), row.dtype)
+                        .at[:row.shape[0], 0].set(row))
 
             self.buffers = jax.tree_util.tree_map(make_buf, first_rows)
             self.order = [0] * INFER_LEN
@@ -278,13 +351,42 @@ class StreamingDepth:
         # a failed trace/compile must not advance order/free past the buffers
         order, free = list(self.order), list(self.free)
         ctx, write_pos = _advance_bookkeeping(self.id, order, free)
-        depth, self.buffers = _stream_step(
-            self.params, jnp.asarray(frame), self.buffers,
-            jnp.asarray(ctx, jnp.int32), jnp.int32(write_pos),
-            self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
-            self.cache_kind)
+        if self._direct_ok(ctx):
+            pos_map, valid = _pos_map(ctx)
+            depth, self.buffers = _stream_step_direct(
+                self.params, jnp.asarray(frame), self.buffers,
+                jnp.asarray(pos_map), jnp.asarray(valid),
+                jnp.int32(write_pos), self.cfg, self.net_hw, self.out_hw,
+                self.dtype, self.attn_impl)
+        else:
+            depth, self.buffers = _stream_step(
+                self.params, jnp.asarray(frame), self.buffers,
+                jnp.asarray(ctx, jnp.int32), jnp.int32(write_pos),
+                self.cfg, self.net_hw, self.out_hw, self.dtype,
+                self.attn_impl, self.cache_kind)
         self.order, self.free = order, free
         return depth
+
+    def _direct_ok(self, *ctxs) -> bool:
+        """Steady-state in-place buffer attention is usable when every context
+        entry is a DISTINCT buffer row (during warmup the anchor row fills
+        multiple positions — the reference replication trick — which only the
+        assembly path can express), the cache holds kv projections, PE is
+        additive (APE), and the Pallas kernel can run."""
+        import os
+
+        from vda_tpu.models.temporal import _on_tpu_or_interpret
+
+        if os.environ.get("VDA_STREAM_DIRECT", "0") != "1":
+            # opt-in until the kernel's Mosaic compile is proven on real
+            # hardware (the first structure HUNG the remote compiler; see
+            # scripts/probe_stream_kernel.py) — a hang here would stall
+            # production streaming, so the assembly path stays the default
+            return False
+        return (self.cache_kind == "kv" and self.cfg.pe == "ape"
+                and not self.cfg.tp_layout
+                and all(len(set(c)) == len(c) for c in ctxs)
+                and _on_tpu_or_interpret())
 
     def submit_group(self, frames: "np.ndarray") -> jax.Array:
         """Throughput mode: process k frames in ONE dispatch.
@@ -320,12 +422,19 @@ class StreamingDepth:
             ctx, wp = _advance_bookkeeping(sim_id, order, free)
             ctx_rows.append(ctx)
             write_rows.append(wp)
+        if self._direct_ok(*ctx_rows):
+            maps = [_pos_map(c) for c in ctx_rows]
+            sel = (jnp.asarray(np.stack([m for m, _ in maps])),
+                   jnp.asarray(np.stack([v for _, v in maps])))
+            direct = True
+        else:
+            sel = jnp.asarray(ctx_rows, jnp.int32)
+            direct = False
         depths, self.buffers = _stream_step_group(
-            self.params, jnp.asarray(frames), self.buffers,
-            jnp.asarray(ctx_rows, jnp.int32),
+            self.params, jnp.asarray(frames), self.buffers, sel,
             jnp.asarray(write_rows, jnp.int32),
             self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
-            self.cache_kind, k)
+            self.cache_kind, k, direct)
         self.id, self.order, self.free = sim_id, order, free
         return depths
 

@@ -136,12 +136,15 @@ def _temporal_attention(p, h, cfg: ModelConfig,
     a kv cache was passed.  Reference motion_module.py:242-321.
     """
     if isinstance(cache, tuple):
+        if len(cache) == 4:
+            return _temporal_attention_kv_direct(p, h, cfg, cache)
         return _temporal_attention_kv(p, h, cfg, cache)
     input_hidden_states = h
     d_in = 0
     if cache is not None:
+        # drop streaming-buffer row padding (see _temporal_attention_kv)
         d_in = cache.shape[1]
-        h = jnp.concatenate([cache.astype(h.dtype), h], axis=1)
+        h = jnp.concatenate([cache[:h.shape[0]].astype(h.dtype), h], axis=1)
 
     bd, t_full, c = h.shape
     if cfg.pe == "ape":
@@ -216,6 +219,11 @@ def _temporal_attention_kv(p, h, cfg: ModelConfig, cache):
     """
     kc, vc = cache
     bd, t_new, c = h.shape
+    # streaming buffers are row-padded to the direct kernel's tile size
+    # (infer/streaming._pad_rows); the assembled context keeps the pad rows —
+    # drop them here where the true spatial size is known
+    kc = kc[:bd]
+    vc = vc[:bd]
     d_in = kc.shape[1]
     t_full = d_in + t_new
     k_new = linear(p["to_k"], h)
@@ -246,6 +254,58 @@ def _temporal_attention_kv(p, h, cfg: ModelConfig, cache):
     probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, t_new, c)
     return linear(p["to_out"], o), (k_new, v_new)
+
+
+def _temporal_attention_kv_direct(p, h, cfg: ModelConfig, cache):
+    """Steady-state streaming fast path: attend straight over the ring
+    buffers, no context materialization.
+
+    cache: (k_buf, v_buf, pos_map, valid) —
+      k_buf/v_buf: (BHW_pad, ROWS, C) pre-PE K/V projections (the streaming
+        cache buffers, row-padded to the kernel tile; infer/streaming),
+      pos_map: (ROWS,) int32 logical context position (0..T-2) of each
+        buffer row, arbitrary where invalid,
+      valid: (ROWS,) bool — rows that form the 31-entry context.
+
+    Equivalent to assembling the context with pos_map's permutation and
+    running ``_temporal_attention_kv`` (APE only; same bf16 PE adds, fp32
+    score/stat accumulation) — but the buffers are read ONCE by a fused
+    kernel (ops/pallas_stream) instead of assembly-write-reread (~3 HBM
+    passes over ~1 GB per step).  Only t_new == 1 (one new frame).
+    """
+    from vda_tpu.ops.pallas_stream import stream_kv_attention
+
+    k_buf, v_buf, pos_map, valid = cache
+    bd, t_new, c = h.shape
+    assert t_new == 1 and cfg.pe == "ape"
+    from vda_tpu.config import INFER_LEN
+
+    bhw_pad = k_buf.shape[0]
+    t_full = INFER_LEN  # 31 context positions + the new frame
+    pe = jnp.asarray(_sinusoidal_pe(t_full, c)).astype(h.dtype)
+    k_new = linear(p["to_k"], h)          # pre-PE, cached
+    v_new = linear(p["to_v"], h)
+    pe_k_proj = linear(p["to_k"], pe)     # (32, C)
+    pe_v_proj = linear(p["to_v"], pe)
+    q = linear(p["to_q"], h + pe[None, t_full - 1:t_full])[:, 0]
+    kn = k_new[:, 0] + pe_k_proj[t_full - 1]
+    vn = v_new[:, 0] + pe_v_proj[t_full - 1]
+    idx = jnp.clip(pos_map, 0, t_full - 2)
+    pe_k_rows = jnp.take(pe_k_proj, idx, axis=0)   # (ROWS, C); invalid rows
+    pe_v_rows = jnp.take(pe_v_proj, idx, axis=0)   # masked by the kernel bias
+
+    pad = bhw_pad - bd
+    if pad:
+        padding = ((0, pad), (0, 0))
+        q = jnp.pad(q, padding)
+        kn = jnp.pad(kn, padding)
+        vn = jnp.pad(vn, padding)
+    heads = cfg.num_attention_heads
+    dh = c // heads
+    o = stream_kv_attention(q, kn, vn, k_buf, v_buf, pe_k_rows, pe_v_rows,
+                            valid, heads=heads, scale=dh ** -0.5)
+    out = linear(p["to_out"], o[:bd][:, None])
+    return out, (k_new, v_new)
 
 
 def _on_tpu_or_interpret() -> bool:
