@@ -39,6 +39,31 @@ def test_flash_qkv_fused_matches_xla():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_flash_qkv_16_aligned_runs_unpadded():
+    # VDA_PAD_GRANULE=16 encoder path: the caller pads to a 16 multiple
+    # (1370 -> 1376 at the vitl window) and the kernel must run that length
+    # directly (np_len == n, no extra pad op), masking keys past valid_len.
+    from vda_tpu.ops.pallas_attention import flash_attention_qkv
+
+    b, h, d = 2, 4, 64
+    hd = h * d
+    n_real, n_pad = 300, 304  # 304 % 16 == 0, 304 % 128 != 0
+    qkv = jnp.asarray(RNG.standard_normal((b, n_real, 3 * hd))
+                      .astype(np.float32))
+    q, k, v = (qkv[..., :hd].reshape(b, n_real, h, d),
+               qkv[..., hd:2 * hd].reshape(b, n_real, h, d),
+               qkv[..., 2 * hd:].reshape(b, n_real, h, d))
+    scale = d ** -0.5
+    ref = np.asarray(_xla_attention(q, k, v, scale)).reshape(b, n_real, hd)
+    padded = jnp.pad(qkv, ((0, 0), (0, n_pad - n_real), (0, 0)))
+    out = np.asarray(flash_attention_qkv(padded, h, scale,
+                                         valid_len=n_real))
+    np.testing.assert_allclose(out[:, :n_real], ref, rtol=2e-4, atol=2e-5)
+    # rows past valid_len only attend to themselves / are masked — the
+    # caller slices them away; just check they are finite
+    assert np.isfinite(out).all()
+
+
 def test_flash_bf16():
     b, n, h, d = 1, 512, 2, 64
     q = jnp.asarray(RNG.standard_normal((b, n, h, d))).astype(jnp.bfloat16)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -287,8 +288,15 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     valid_len = None
     use_pallas_attn = attn_impl == "pallas" or (
         attn_impl == "auto" and _use_pallas(n, cfg.head_dim))
-    if use_pallas_attn and n % 128:
-        pad = (-n) % 128
+    granule = int(os.environ.get("VDA_PAD_GRANULE", "128"))
+    if use_pallas_attn and n % granule:
+        # 128 keeps the whole encoder at the attention kernel's natural lane
+        # granule.  16 pads only to the sublane granule (1370 -> 1376 at the
+        # vitl window): the attention kernel runs the 16-aligned length
+        # directly (same MXU lane-tile count — 1376 and 1408 both round to
+        # 11 tiles of 128), while every row-independent matmul (qkv/proj/
+        # mlp, ~143 ms/window) drops 2.3% of its rows.
+        pad = (-n) % granule
         h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
         valid_len = n
     out = {}

@@ -191,7 +191,10 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
     d = hd // heads
     if valid_len is None:
         valid_len = n
-    np_len = -(-n // 128) * 128
+    # a 16-aligned caller-padded length runs as-is (the scores' internal
+    # lane pad to the next 128 multiple is Mosaic's, costing the same MXU
+    # lane-tile count); anything else pads to the 128 lane granule
+    np_len = n if n % 16 == 0 else -(-n // 128) * 128
     if block_q is None and os.environ.get("VDA_ATTN_BQ"):
         block_q = int(os.environ["VDA_ATTN_BQ"])  # full-bench sweep knob
     # Tuning (v5e, ViT shape 32x1408x16x64, round 2): with 8-head (512-lane)
@@ -202,20 +205,26 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
     if block_q is None:
         block_q = np_len
         if np_len > 768:
-            for div in (8, 4, 2, 16):
-                if np_len % div == 0 and (np_len // div) % 16 == 0 \
-                        and (np_len // div) * np_len * 4 <= 4_200_000:
-                    block_q = np_len // div
-                    break
-            else:
-                # no divisor fits the score-tile budget (e.g. np_len 4480 at
-                # input_size ~900): degrade to 128 rows (always divides the
-                # 128-padded np_len) instead of a full (N, N) fp32 tile that
-                # blows the 16 MB VMEM stack at compile time
-                block_q = 128
+            # every divisor with 16-aligned rows and a score tile under the
+            # VMEM budget; nearest to the tuned 176-row sweet spot wins
+            # (v5e sweep, see the tuning note above)
+            best = None
+            for div in range(2, np_len // 16 + 1):
+                if np_len % div:
+                    continue
+                bq = np_len // div
+                if bq % 16 or bq * np_len * 4 > 4_200_000:
+                    continue
+                if best is None or abs(bq - 176) < abs(best - 176):
+                    best = bq
+            # no usable divisor (e.g. np_len 4480 at input_size ~900):
+            # degrade to a fixed small block instead of a full (N, N) fp32
+            # tile that blows the 16 MB VMEM stack at compile time
+            block_q = best if best is not None else (
+                128 if np_len % 128 == 0 else 16)
     block_q = min(block_q, np_len)
     if np_len % block_q:
-        block_q = 128
+        block_q = 128 if np_len % 128 == 0 else 16
 
     g_heads = _pick_head_group(heads, d)
     gw = g_heads * d
