@@ -90,6 +90,39 @@ class TestEncoderParity:
             np.testing.assert_allclose(np.asarray(our_cls), _to_np(ref_cls),
                                        rtol=1e-3, atol=1e-4)
 
+    def test_masked_tokens(self, ref_model, jax_params):
+        """iBOT-style input masking: masked patch embeddings are replaced by
+        the learned mask_token before the position embedding is added
+        (reference dinov2.py prepare_tokens_with_masks).  Training-only."""
+        import torch
+        import jax.numpy as jnp
+        from vda_tpu.models.dinov2 import encode, prepare_tokens
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+        n_patches = (56 // 14) ** 2
+        masks = rng.random((2, n_patches)) < 0.4
+        with torch.no_grad():
+            ref_prep = ref_model.pretrained.prepare_tokens_with_masks(
+                torch.from_numpy(x), torch.from_numpy(masks))
+            h = ref_prep
+            for blk in ref_model.pretrained.blocks:
+                h = blk(h)
+            ref_feat = ref_model.pretrained.norm(h)
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+        mj = jnp.asarray(masks)
+        our_prep = prepare_tokens(jax_params["pretrained"], xj, TINY_VIT,
+                                  masks=mj)
+        np.testing.assert_allclose(np.asarray(our_prep), _to_np(ref_prep),
+                                   rtol=1e-3, atol=1e-4)
+        ours = encode(jax_params["pretrained"], xj, TINY_VIT, (1,),
+                      attn_impl="xla", masks=mj)
+        ref_tok, ref_cls = ref_feat[:, 1:], ref_feat[:, 0]
+        np.testing.assert_allclose(np.asarray(ours[0][0]), _to_np(ref_tok),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ours[0][1]), _to_np(ref_cls),
+                                   rtol=1e-3, atol=1e-4)
+
     def test_pos_embed_interpolation_path(self, ref_model, jax_params):
         """Non-native input size exercises bicubic pos-embed interpolation
         (reference dinov2.py:179-210)."""

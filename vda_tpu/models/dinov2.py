@@ -242,12 +242,20 @@ def block_apply_nested(p, x_list, cfg: EncoderConfig, attn_impl: str = "auto"):
     return outs
 
 
-def prepare_tokens(params, x, cfg: EncoderConfig):
-    """Patch-embed + cls token + (interpolated) position embedding
-    (reference dinov2.py:212-231)."""
+def prepare_tokens(params, x, cfg: EncoderConfig, masks=None):
+    """Patch-embed + optional iBOT masking + cls token + (interpolated)
+    position embedding (reference dinov2.py:212-231).
+
+    masks: optional (B, N_patches) bool — True entries have their patch
+    embedding replaced by the learned ``mask_token`` BEFORE the position
+    embedding is added (training-only, used by iBOT-style objectives;
+    reference prepare_tokens_with_masks)."""
     b, h, w, _ = x.shape
     grid = (h // cfg.patch_size, w // cfg.patch_size)
     tokens = _patch_embed(params["patch_embed"], x)
+    if masks is not None:
+        mask_tok = params["mask_token"].astype(tokens.dtype)
+        tokens = jnp.where(masks[..., None], mask_tok, tokens)
     cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
                            (b, 1, tokens.shape[-1]))
     tokens = jnp.concatenate([cls, tokens], axis=1)
@@ -257,7 +265,8 @@ def prepare_tokens(params, x, cfg: EncoderConfig):
 
 def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
            attn_impl: str = "auto", scan_blocks: bool = True,
-           remat: bool = False, drop_path_rate: float = 0.0, rng=None):
+           remat: bool = False, drop_path_rate: float = 0.0, rng=None,
+           masks=None):
     """Reference get_intermediate_layers(x, tap_idx, return_class_token=True)
     (dinov2.py:297-321).
 
@@ -283,7 +292,7 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     the training configuration anyway.
     """
     taps = set(tap_idx)
-    h = prepare_tokens(params, x, cfg)
+    h = prepare_tokens(params, x, cfg, masks=masks)
     n = h.shape[1]
     valid_len = None
     use_pallas_attn = attn_impl == "pallas" or (
