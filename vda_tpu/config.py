@@ -50,6 +50,13 @@ class EncoderConfig:
     init_values: float = 1.0          # LayerScale on (reference dinov2.py:409)
     interpolate_offset: float = 0.1   # reference dinov2.py:414
     num_register_tokens: int = 0
+    # Megatron-style sequence parallelism (training-only, used with
+    # tp_layout on a ('data','model') mesh): the residual stream is
+    # sharded over tokens in the LayerNorm regions — norm-region activation
+    # memory / tp, and the TP collectives become reduce-scatter +
+    # all-gather pairs where the backend partitioner supports the rewrite
+    # (XLA:CPU keeps all-reduce + slice).  parallel/mesh.py.
+    seq_shard: bool = False
 
     @property
     def num_patches(self) -> int:

@@ -175,6 +175,16 @@ def _mlp(p, x, ffn_layer: str):
     return linear(p["fc2"], gelu(linear(p["fc1"], x)))
 
 
+def _seq_constrain(x):
+    """Pin (B, N, D) activations to ('data', 'model', None) — token dim
+    sharded over the model axis.  Requires an ambient mesh (jax.set_mesh);
+    used only when EncoderConfig.seq_shard is set by the sharded trainer."""
+    from jax.sharding import PartitionSpec as P
+
+    from vda_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, MODEL_AXIS, None))
+
+
 def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto",
                 valid_len: int | None = None,
                 drop_path_rate: float = 0.0, rng=None):
@@ -187,18 +197,27 @@ def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto",
 
     drop_path_rate > 0 with an rng applies stochastic depth to both residual
     branches (reference block.py:110-201 training path, drop_path.py:18-35).
+
+    cfg.seq_shard pins the residual stream to a token-sharded layout in the
+    norm regions (Megatron sequence parallelism): GSPMD emits
+    all-gather(tokens) entering attention/MLP, and the row-parallel exits
+    reduce into the token shards (reduce-scatter where the backend
+    partitioner rewrites it; all-reduce + slice on XLA:CPU) —
+    LayerNorm/residual/drop-path activations shrink by the tp factor.
     """
     from vda_tpu.ops.layers import drop_path
 
+    sp = _seq_constrain if cfg.seq_shard else (lambda t: t)
     use_dp = drop_path_rate > 0.0 and rng is not None
     if use_dp:
         rng1, rng2 = jax.random.split(rng)
+    x = sp(x)
     h = _attention(p["attn"], layer_norm(p["norm1"], x), cfg.num_heads,
                    attn_impl, valid_len)
     h = h * p["ls1"].astype(h.dtype)
     if use_dp:
         h = drop_path(h, drop_path_rate, rng1)
-    x = x + h
+    x = sp(x + h)
     h = _mlp(p["mlp"], layer_norm(p["norm2"], x), cfg.ffn_layer)
     h = h * p["ls2"].astype(h.dtype)
     if use_dp:

@@ -37,6 +37,7 @@ def train(
     ckpt_every: int = 500,
     learning_rate: float = 1e-5,
     tp: int = 1,
+    sp: bool = False,
     log_fn: Callable[[int, dict], None] = None,
 ):
     """Run ``num_steps`` of VideoDepthLoss fine-tuning.
@@ -49,11 +50,22 @@ def train(
     ``from_tp_layout`` before exporting weights elsewhere) and the model
     runs with cfg.tp_layout=True so attention projections stay
     shard-aligned.
+
+    sp=True (requires tp > 1) adds Megatron sequence parallelism: encoder
+    norm-region activations are token-sharded over the model axis
+    (activation memory / tp there; the TP all-reduces become
+    reduce-scatter + all-gather pairs where the backend supports the
+    rewrite).  Token count (num_patches + 1) should divide by tp.
     """
     mesh = make_mesh(tp=tp)
+    if sp and tp <= 1:
+        raise ValueError("sp=True requires tp > 1")
     if tp > 1:
         params = to_tp_layout(params)
         cfg = cfg.replace(tp_layout=True)
+        if sp:
+            import dataclasses as _dc
+            cfg = cfg.replace(vit=_dc.replace(cfg.vit, seq_shard=True))
     params = jax.device_put(params, param_shardings(params, mesh))
     optimizer = make_optimizer(learning_rate)
     state = init_train_state(params, optimizer)
