@@ -8,7 +8,8 @@ anywhere); scale-out here is new, TPU-native design:
     collectives inserted by GSPMD from sharding annotations)
   * inference fan-out: shard the window/batch dim over 'data'
   * training: batch over 'data', encoder + temporal-module matmuls over
-    'model'
+    'model', optional Megatron sequence parallelism (token-sharded norm
+    regions, EncoderConfig.seq_shard / trainer sp=True)
 
 Rules are expressed as jax.sharding.PartitionSpec per parameter path; GSPMD
 inserts the all-reduces (qkv column-parallel -> proj row-parallel -> psum,
