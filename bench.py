@@ -218,7 +218,13 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
     stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl)
     frame = jnp.asarray(np.full((size, size, 3), 128, np.uint8))
     # warmup: compiles _first_step + _stream_step and crosses the eviction
-    # threshold (id > 11) so measured steps use steady-state bookkeeping
+    # threshold (id > 11) so measured steps use steady-state bookkeeping.
+    # The direct-kernel path engages only once the anchor replication has
+    # fully drained (first distinct-row context: step 42) — warm past it so
+    # every measured step runs the direct kernel and its compile lands in
+    # warmup, not mid-measurement.
+    if os.environ.get("VDA_STREAM_DIRECT", "0") == "1":
+        n_warm = max(n_warm, 44)
     for _ in range(n_warm):
         d = stream.submit(frame)
     np.asarray(d[:1, :1])
@@ -235,6 +241,27 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
 
     # throughput mode: k frames per dispatch (batched encoder, exact same
     # outputs as sequential submits — infer/streaming.submit_group)
+    # On-hardware direct-kernel gate: when the fused ring-buffer attention
+    # path is enabled (VDA_STREAM_DIRECT=1), rerun the same frames through the
+    # assembly path and compare steady-state depths — a Mosaic miscompile of
+    # ops/pallas_stream must fail loudly here, like the window pallas_check.
+    if os.environ.get("VDA_STREAM_DIRECT", "0") == "1":
+        ref_stream = StreamingDepth(params, cfg, input_size=size,
+                                    attn_impl=attn_impl)
+        prev = os.environ["VDA_STREAM_DIRECT"]
+        os.environ["VDA_STREAM_DIRECT"] = "0"  # read per-submit
+        try:
+            for _ in range(n_warm + n_meas):  # same step count as `d`
+                dr = ref_stream.submit(frame)
+        finally:
+            os.environ["VDA_STREAM_DIRECT"] = prev
+        a = np.asarray(d, np.float32)       # direct path, same frame count
+        b = np.asarray(dr, np.float32)
+        denom = max(float(np.abs(b).max()), 1e-6)
+        max_rel = float(np.abs(a - b).max() / denom)
+        result["stream_direct_check"] = {
+            "max_rel": round(max_rel, 5), "ok": bool(max_rel < 1e-2)}
+
     k = int(os.environ.get("VDA_BENCH_STREAM_GROUP", "4"))
     if k > 1:
         group = jnp.asarray(np.full((k, size, size, 3), 128, np.uint8))
