@@ -19,7 +19,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MS_PER_FRAME = 14.0  # vitl FP16 A100 (reference README.md:55-81)
 
 
+def _probe_device(timeout_s: int) -> str:
+    """Touch the device in a SUBPROCESS with a hard timeout.
+
+    A wedged axon tunnel blocks jax.devices() indefinitely in-process (no
+    signal can interrupt the plugin's C++ wait) — probing in a child means a
+    dead tunnel yields a loud JSON error line instead of a silently hung
+    bench that leaves the round artifact empty."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return ""
+    return r.stdout.strip() if r.returncode == 0 else ""
+
+
 def main():
+    probe_timeout = int(os.environ.get("VDA_BENCH_PROBE_TIMEOUT", "900"))
+    if probe_timeout > 0 and not _probe_device(probe_timeout):
+        print(json.dumps({
+            "metric": "vitl 518x518x32-frame window inference",
+            "value": None, "unit": "ms/frame", "vs_baseline": None,
+            "error": f"device unreachable (probe timed out after "
+                     f"{probe_timeout}s — TPU tunnel wedged?)"}))
+        return
+
     import jax
     import jax.numpy as jnp
 
