@@ -108,3 +108,38 @@ def test_fold_out_conv1_matches_two_convs():
     got = _fold_out_conv1(p1, p2, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_pad_granule_16_matches_128_and_xla(tiny_model, tiny_cfg):
+    """VDA_PAD_GRANULE=16 (sublane-granule token pad, models/dinov2.encode)
+    must give the same tap activations as the default 128 pad and the XLA
+    path — the attention kernel masks keys past valid_len either way."""
+    import os
+
+    from vda_tpu.models.dinov2 import encode
+
+    s = tiny_cfg.vit.img_size
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, s, s, 3), jnp.float32)
+    taps = sorted(set(tiny_cfg.intermediate_layer_idx))
+    enc = tiny_model["pretrained"]
+
+    def run(granule, attn_impl):
+        prev = os.environ.get("VDA_PAD_GRANULE")
+        os.environ["VDA_PAD_GRANULE"] = str(granule)
+        try:
+            out = encode(enc, x, tiny_cfg.vit, taps, attn_impl=attn_impl)
+        finally:
+            if prev is None:
+                os.environ.pop("VDA_PAD_GRANULE", None)
+            else:
+                os.environ["VDA_PAD_GRANULE"] = prev
+        return [np.asarray(t) for pair in out for t in pair]
+
+    ref = run(128, "xla")
+    g128 = run(128, "pallas")
+    g16 = run(16, "pallas")
+    for a, b in zip(g128, g16):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
+    for a, b in zip(ref, g16):
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4)
