@@ -76,3 +76,58 @@ def test_fullscale_vits():
 
 def test_fullscale_vitl():
     _build_and_compare("vitl")
+
+
+def test_fullscale_vitg_encoder():
+    """vitg at full width/depth (swiglufused, embed 1536 x 40 blocks —
+    reference dinov2.py:381-414): activation parity of the tap outputs.
+    The reference ships no vitg head, so this covers the encoder, which is
+    where vitg differs (the DA-family giant head constants are plain DPT).
+    Small image keeps CPU time bounded; the pos-embed interpolation path is
+    exercised as a bonus (518-trained grid -> 10x10 tokens)."""
+    import torch
+
+    from tests.torch_ref import import_reference
+    import_reference()
+    from video_depth_anything.dinov2 import DINOv2
+
+    import jax.numpy as jnp
+
+    from vda_tpu.models.dinov2 import encode
+    from vda_tpu.utils.convert import convert_state_dict
+
+    cfg = get_config("vitg")
+    torch.manual_seed(0)
+    m = DINOv2(model_name="vitg").eval()
+    with torch.no_grad():
+        for p in m.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+
+    size = 140  # 10x10 patches + cls = 101 tokens
+    x = np.random.default_rng(11).standard_normal(
+        (1, 3, size, size)).astype(np.float32)
+    taps = sorted(set(cfg.intermediate_layer_idx))
+    with torch.no_grad():
+        ref_out = m.get_intermediate_layers(torch.from_numpy(x), taps,
+                                            return_class_token=True)
+
+    # the converter maps a full checkpoint; pair the encoder with the
+    # DA-family giant head exactly like test_convert_fullscale.py
+    from video_depth_anything.dpt_temporal import DPTHeadTemporal
+
+    with torch.no_grad():
+        head = DPTHeadTemporal(m.embed_dim, cfg.features,
+                               out_channels=list(cfg.out_channels),
+                               num_frames=cfg.num_frames, pe=cfg.pe)
+    sd = {f"pretrained.{k}": v for k, v in m.state_dict().items()}
+    sd.update({f"head.{k}": v for k, v in head.state_dict().items()})
+    params = convert_state_dict(sd, cfg)
+    del m, head
+    ours = encode(params["pretrained"], jnp.asarray(x.transpose(0, 2, 3, 1)),
+                  cfg.vit, taps, attn_impl="xla")
+
+    for (ref_p, ref_c), (our_p, our_c) in zip(ref_out, ours):
+        for r, o in ((ref_p, our_p), (ref_c, our_c)):
+            r = r.numpy()
+            scale = max(float(np.abs(r).max()), 1e-6)
+            assert float(np.abs(np.asarray(o) - r).max()) / scale < 1e-3
