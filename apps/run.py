@@ -27,7 +27,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--input_size", type=int, default=518)
     parser.add_argument("--max_res", type=int, default=1280)
     parser.add_argument("--encoder", type=str, default="vitl",
-                        choices=["vits", "vitb", "vitl", "tiny"])
+                        choices=["vits", "vitb", "vitl", "vitg", "tiny"])
     parser.add_argument("--max_len", type=int, default=-1,
                         help="maximum length of the input video, -1 no limit")
     parser.add_argument("--target_fps", type=int, default=-1,

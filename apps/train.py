@@ -37,6 +37,64 @@ def npz_data_iter(data_dir: str, loop: bool = True):
             return
 
 
+def manifest_clip_iter(manifest_path: str, batch: int, frames: int,
+                       size: int, seed: int = 0, target: str = "disparity"):
+    """Sample training clips from a benchmark-extract manifest
+    (benchmark/dataset_extract/extract_utils.gen_json layout:
+    ``{dataset: [{seq_name: [{image, gt_depth, factor}, ...]}, ...]}``,
+    paths relative to the manifest's directory).
+
+    Each batch item is ``frames`` CONSECUTIVE frames from a random sequence,
+    resized to (size, size): video raw RGB in [0,1] (normalization happens
+    inside the train step), target depth/factor (or its masked reciprocal
+    when target="disparity" — the affine-invariant supervision the
+    depth-anything family trains on), mask = depth > 0.
+    """
+    import json
+
+    import cv2
+
+    root = os.path.dirname(os.path.abspath(manifest_path))
+    with open(manifest_path) as f:
+        data = json.load(f)
+    seqs = [entries for ds in data.values() for seq in ds
+            for entries in seq.values() if len(entries) >= frames]
+    if not seqs:
+        raise ValueError(f"no sequence with >= {frames} frames in "
+                         f"{manifest_path}")
+    rng = np.random.default_rng(seed)
+
+    def load_clip(entries, start):
+        vid, dep = [], []
+        for e in entries[start:start + frames]:
+            img = cv2.cvtColor(cv2.imread(os.path.join(root, e["image"])),
+                               cv2.COLOR_BGR2RGB)
+            d = cv2.imread(os.path.join(root, e["gt_depth"]),
+                           cv2.IMREAD_UNCHANGED).astype(np.float32)
+            d /= float(e.get("factor", 1.0))
+            vid.append(cv2.resize(img, (size, size),
+                                  interpolation=cv2.INTER_AREA))
+            dep.append(cv2.resize(d, (size, size),
+                                  interpolation=cv2.INTER_NEAREST))
+        return np.stack(vid), np.stack(dep)
+
+    while True:
+        vids, deps = [], []
+        for _ in range(batch):
+            entries = seqs[rng.integers(len(seqs))]
+            start = int(rng.integers(len(entries) - frames + 1))
+            v, d = load_clip(entries, start)
+            vids.append(v)
+            deps.append(d)
+        video = np.stack(vids).astype(np.float32) / 255.0
+        depth = np.stack(deps)
+        mask = depth > 0
+        if target == "disparity":
+            depth = np.where(mask, 1.0 / np.maximum(depth, 1e-6), 0.0)
+        yield {"video": video, "depth": depth.astype(np.float32),
+               "mask": mask}
+
+
 def synthetic_iter(batch: int, frames: int, size: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     while True:
@@ -52,7 +110,7 @@ def synthetic_iter(batch: int, frames: int, size: int, seed: int = 0):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="VDA fine-tuning (TPU)")
     parser.add_argument("--encoder", default="vits",
-                        choices=["vits", "vitb", "vitl", "tiny"])
+                        choices=["vits", "vitb", "vitl", "vitg", "tiny"])
     parser.add_argument("--checkpoint", default=None,
                         help=".pth/.npz initial weights (default random)")
     parser.add_argument("--data-dir", default=None)
@@ -66,6 +124,22 @@ def main(argv=None):
                         help="tensor-parallel degree")
     parser.add_argument("--ckpt-dir", default=None)
     parser.add_argument("--ckpt-every", type=int, default=500)
+    parser.add_argument("--manifest", default=None,
+                        help="benchmark-extract manifest JSON: sample "
+                             "consecutive-frame clips from its sequences")
+    parser.add_argument("--target", default="disparity",
+                        choices=["disparity", "depth"])
+    parser.add_argument("--schedule", action="store_true",
+                        help="linear warmup -> cosine decay to lr/10")
+    parser.add_argument("--warmup-steps", type=int, default=0)
+    parser.add_argument("--clip-norm", type=float, default=0.0)
+    parser.add_argument("--augment-size", type=int, default=0,
+                        help="enable on-device clip augmentation "
+                             "(random-resized-crop to this size + hflip + "
+                             "photometric jitter); 0 = off")
+    parser.add_argument("--prefetch", type=int, default=2,
+                        help="host-side prefetch depth (decode + H2D in a "
+                             "background thread); 0 = synchronous")
     args = parser.parse_args(argv)
 
     import jax
@@ -76,6 +150,13 @@ def main(argv=None):
     from vda_tpu.utils.convert import load_params_npz, load_torch_checkpoint
 
     cfg = get_config(args.encoder)
+    patch = cfg.vit.patch_size
+    eff_size = args.augment_size or args.size
+    if eff_size % patch:
+        parser.error(
+            f"the size reaching the model ({eff_size}, from "
+            f"{'--augment-size' if args.augment_size else '--size'}) must "
+            f"be a multiple of the ViT patch size ({patch})")
     if args.checkpoint is None:
         params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
     elif args.checkpoint.endswith(".npz"):
@@ -85,14 +166,22 @@ def main(argv=None):
     else:
         params = load_torch_checkpoint(args.checkpoint, cfg)
 
-    if args.synthetic or args.data_dir is None:
+    if args.manifest:
+        data = manifest_clip_iter(args.manifest, args.batch, args.frames,
+                                  args.size, target=args.target)
+    elif args.synthetic or args.data_dir is None:
         data = synthetic_iter(args.batch, args.frames, args.size)
     else:
         data = npz_data_iter(args.data_dir)
 
     state = train(cfg, params, data, num_steps=args.steps,
                   ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
-                  learning_rate=args.lr, tp=args.tp)
+                  learning_rate=args.lr, tp=args.tp,
+                  schedule=args.schedule, warmup_steps=args.warmup_steps,
+                  clip_norm=args.clip_norm,
+                  augment_hw=((args.augment_size, args.augment_size)
+                              if args.augment_size else None),
+                  prefetch=args.prefetch)
     print(f"done at step {int(state.step)}")
     return state
 

@@ -27,8 +27,27 @@ class TrainState:
     step: jnp.ndarray
 
 
-def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2):
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
+                   warmup_steps: int = 0, total_steps: int = 0,
+                   clip_norm: float = 0.0):
+    """AdamW, optionally with linear warmup -> cosine decay (the standard
+    fine-tuning schedule; the reference ships no trainer to compare against)
+    and global-norm gradient clipping.
+
+    total_steps > 0 enables the schedule (peak = learning_rate, floor =
+    learning_rate / 10); warmup_steps is the linear ramp from 0.
+    """
+    if total_steps > 0:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=learning_rate,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=total_steps, end_value=learning_rate / 10.0)
+    else:
+        lr = learning_rate
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+    if clip_norm > 0.0:
+        opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    return opt
 
 
 def make_train_step(cfg: ModelConfig, optimizer=None,
@@ -37,7 +56,11 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
                     drop_path_rate: float = 0.0) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
-    batch: dict(video (B,T,H,W,3), depth (B,T,H,W), mask (B,T,H,W)).
+    batch: dict(video (B,T,H,W,3) RAW RGB in [0, 1], depth (B,T,H,W),
+    mask (B,T,H,W)).  ImageNet normalization is applied INSIDE the step so
+    training inputs match the inference preprocessing
+    (utils/transform.preprocess_frames) — a fine-tune of converted weights
+    must see the same input statistics the checkpoint was trained on.
     micro_batch_size defaults to the full window (no tail chunking) because
     lax.scan over a sharded batch dim would force resharding.
 
@@ -49,12 +72,16 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
     if optimizer is None:
         optimizer = make_optimizer()
 
+    from vda_tpu.utils.transform import IMAGENET_MEAN, IMAGENET_STD
+
     def loss_fn(params, batch, step):
         mb = micro_batch_size or (batch["video"].shape[0]
                                   * batch["video"].shape[1])
         rng = (jax.random.fold_in(jax.random.PRNGKey(0), step)
                if drop_path_rate > 0.0 else None)
-        pred = forward(params, batch["video"], cfg, attn_impl="xla",
+        video = ((batch["video"] - jnp.asarray(IMAGENET_MEAN, jnp.float32))
+                 / jnp.asarray(IMAGENET_STD, jnp.float32))
+        pred = forward(params, video, cfg, attn_impl="xla",
                        micro_batch_size=mb, remat=remat,
                        drop_path_rate=drop_path_rate, rng=rng)
         losses = video_depth_loss(pred.astype(jnp.float32),

@@ -39,11 +39,31 @@ def train(
     tp: int = 1,
     sp: bool = False,
     log_fn: Callable[[int, dict], None] = None,
+    warmup_steps: int = 0,
+    schedule: bool = False,
+    clip_norm: float = 0.0,
+    augment_hw: Optional[tuple] = None,
+    augment_seed: int = 0,
+    prefetch: int = 2,
 ):
     """Run ``num_steps`` of VideoDepthLoss fine-tuning.
 
-    data_iter yields dicts with video (B,T,H,W,3), depth (B,T,H,W),
-    mask (B,T,H,W); B must be divisible by the data-parallel degree.
+    data_iter yields dicts with video (B,T,H,W,3) raw RGB in [0,1],
+    depth (B,T,H,W), mask (B,T,H,W); B must be divisible by the
+    data-parallel degree.  ImageNet normalization happens inside the step.
+
+    schedule=True uses linear warmup (``warmup_steps``) -> cosine decay to
+    lr/10 over ``num_steps``; clip_norm > 0 adds global-norm clipping.
+    augment_hw=(h, w) applies the on-device clip augmentation
+    (utils/augment.augment_batch: consistent random-resized-crop + hflip +
+    photometric jitter) cropping each batch to (h, w); the rng folds
+    ``augment_seed`` with the step index, so a resumed run replays the
+    same augmentation stream.
+
+    prefetch > 0 runs the data iterator in a daemon thread that eagerly
+    device_puts each batch with the data-parallel sharding (depth =
+    ``prefetch``), overlapping host decode + H2D with device compute
+    (utils/data.prefetch_to_device); 0 keeps the synchronous path.
 
     Under tp > 1 the params are converted to the head-aligned TP layout
     (mesh.to_tp_layout — checkpoints save in that layout; run
@@ -67,23 +87,43 @@ def train(
             import dataclasses as _dc
             cfg = cfg.replace(vit=_dc.replace(cfg.vit, seq_shard=True))
     params = jax.device_put(params, param_shardings(params, mesh))
-    optimizer = make_optimizer(learning_rate)
+    optimizer = make_optimizer(learning_rate,
+                               warmup_steps=warmup_steps,
+                               total_steps=num_steps if schedule else 0,
+                               clip_norm=clip_norm)
     state = init_train_state(params, optimizer)
     start_step = 0
     if ckpt_dir:
         state, start_step = resume_or_init(ckpt_dir, state)
 
     step_fn = jax.jit(make_train_step(cfg, optimizer))
+    aug_fn = None
+    if augment_hw is not None:
+        import functools
+
+        from vda_tpu.utils.augment import augment_batch
+
+        aug_fn = jax.jit(functools.partial(augment_batch,
+                                           out_hw=tuple(augment_hw)))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if prefetch > 0:
+        from vda_tpu.utils.data import sized_prefetch
+        data_iter = sized_prefetch(data_iter, batch_sharding,
+                                   buffer_size=prefetch,
+                                   limit=max(num_steps - start_step, 0))
     t0 = time.time()
     with jax.set_mesh(mesh):
         for step, batch in enumerate(data_iter, start=start_step):
             if step >= num_steps:
                 break
             batch = jax.device_put(batch, batch_sharding)
+            if aug_fn is not None:
+                batch = aug_fn(
+                    jax.random.fold_in(jax.random.PRNGKey(augment_seed),
+                                       step), batch)
             state, metrics = step_fn(state, batch)
             if log_fn is not None:
                 log_fn(step, metrics)
