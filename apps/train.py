@@ -38,7 +38,8 @@ def npz_data_iter(data_dir: str, loop: bool = True):
 
 
 def manifest_clip_iter(manifest_path: str, batch: int, frames: int,
-                       size: int, seed: int = 0, target: str = "disparity"):
+                       size: int, seed: int = 0, target: str = "disparity",
+                       decode_workers: int = 8):
     """Sample training clips from a benchmark-extract manifest
     (benchmark/dataset_extract/extract_utils.gen_json layout:
     ``{dataset: [{seq_name: [{image, gt_depth, factor}, ...]}, ...]}``,
@@ -78,14 +79,21 @@ def manifest_clip_iter(manifest_path: str, batch: int, frames: int,
                                   interpolation=cv2.INTER_NEAREST))
         return np.stack(vid), np.stack(dep)
 
+    # cv2 decode/resize release the GIL, so a thread pool over the batch's
+    # clips gives near-linear decode speedup (this iterator usually runs
+    # inside utils/data.prefetch_to_device, overlapping with device compute)
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=max(1, min(decode_workers, batch)))
+
     while True:
-        vids, deps = [], []
+        picks = []
         for _ in range(batch):
             entries = seqs[rng.integers(len(seqs))]
             start = int(rng.integers(len(entries) - frames + 1))
-            v, d = load_clip(entries, start)
-            vids.append(v)
-            deps.append(d)
+            picks.append((entries, start))
+        clips = list(pool.map(lambda p: load_clip(*p), picks))
+        vids = [v for v, _ in clips]
+        deps = [d for _, d in clips]
         video = np.stack(vids).astype(np.float32) / 255.0
         depth = np.stack(deps)
         mask = depth > 0
@@ -140,6 +148,11 @@ def main(argv=None):
     parser.add_argument("--prefetch", type=int, default=2,
                         help="host-side prefetch depth (decode + H2D in a "
                              "background thread); 0 = synchronous")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="gradient-accumulation steps (effective batch "
+                             "= batch x accum)")
+    parser.add_argument("--metrics", default=None,
+                        help="append per-step loss JSONL to this path")
     args = parser.parse_args(argv)
 
     import jax
@@ -181,7 +194,8 @@ def main(argv=None):
                   clip_norm=args.clip_norm,
                   augment_hw=((args.augment_size, args.augment_size)
                               if args.augment_size else None),
-                  prefetch=args.prefetch)
+                  prefetch=args.prefetch, accum=args.accum,
+                  metrics_path=args.metrics)
     print(f"done at step {int(state.step)}")
     return state
 

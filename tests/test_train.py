@@ -146,3 +146,90 @@ def test_encoder_drop_path_schedule_and_training_path():
     state2, metrics = step(state, batch)
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(state2.step) == 1
+
+
+def test_grad_accumulation_matches_large_batch(tiny_cfg):
+    """k micro-steps with MultiSteps(k) produce the params of one step on
+    the concatenated batch: the averaged k mean-gradients equal the
+    full-batch mean gradient for equal-size sub-batches.
+
+    The equivalence is asserted with SGD (linear in the gradient, so fp
+    reduction-order noise stays ~1e-7).  Adam cannot be compared this way:
+    its FIRST update is ~lr * g/|g|, so near-zero gradient entries flip
+    sign under reduction-order noise and diverge by 2*lr — the adamw path
+    gets a semantic check (no update mid-accumulation, update at the
+    boundary) instead."""
+    import optax
+
+    params = init_video_depth_anything(jax.random.PRNGKey(3), tiny_cfg)
+    b = params["head"]["output_conv2"]["conv1"]["b"]
+    params["head"]["output_conv2"]["conv1"]["b"] = b + 0.5
+
+    b1, b2 = _batch(tiny_cfg, seed=1), _batch(tiny_cfg, seed=2)
+    big = {k: jnp.concatenate([b1[k], b2[k]], axis=0) for k in b1}
+
+    opt_a = optax.MultiSteps(optax.sgd(1e-3), every_k_schedule=2)
+    step_a = jax.jit(make_train_step(tiny_cfg, opt_a))
+    st = init_train_state(params, opt_a)
+    st, _ = step_a(st, b1)
+    # first micro-step accumulates only: params unchanged
+    same = jax.tree.map(
+        lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
+        st.params, params)
+    assert all(jax.tree.leaves(same))
+    st, _ = step_a(st, b2)
+
+    step_b = jax.jit(make_train_step(tiny_cfg, optax.sgd(1e-3)))
+    st_big = init_train_state(params, optax.sgd(1e-3))
+    st_big, _ = step_b(st_big, big)
+
+    diffs = jax.tree.map(
+        lambda x, y: float(np.abs(np.asarray(x, np.float64)
+                                  - np.asarray(y, np.float64)).max()),
+        st.params, st_big.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+
+    # adamw accumulation wiring (make_optimizer accum_steps): no param
+    # change mid-accumulation, a real update at the boundary
+    opt = make_optimizer(learning_rate=1e-3, accum_steps=2)
+    step = jax.jit(make_train_step(tiny_cfg, opt))
+    st = init_train_state(params, opt)
+    st, _ = step(st, b1)
+    same = jax.tree.map(
+        lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
+        st.params, params)
+    assert all(jax.tree.leaves(same))
+    st, _ = step(st, b2)
+    moved = jax.tree.map(
+        lambda x, y: float(np.abs(np.asarray(x, np.float64)
+                                  - np.asarray(y, np.float64)).max()),
+        st.params, params)
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_trainer_metrics_jsonl(tiny_cfg, tmp_path):
+    """train(metrics_path=...) appends one parseable line per step."""
+    import json
+
+    from vda_tpu.parallel.trainer import train
+
+    params = init_video_depth_anything(jax.random.PRNGKey(0), tiny_cfg)
+    s = tiny_cfg.vit.img_size
+    ndev = len(jax.devices())
+
+    def data():
+        rng = np.random.default_rng(0)
+        while True:
+            yield {
+                "video": rng.random((ndev, 2, s, s, 3)).astype(np.float32),
+                "depth": (rng.random((ndev, 2, s, s)) * 3 + 0.2).astype(
+                    np.float32),
+                "mask": np.ones((ndev, 2, s, s), bool),
+            }
+
+    path = str(tmp_path / "metrics.jsonl")
+    train(tiny_cfg, params, data(), num_steps=2, metrics_path=path,
+          accum=2, schedule=True, prefetch=0)
+    lines = [json.loads(l) for l in open(path)]
+    assert [l["step"] for l in lines] == [0, 1]
+    assert all(np.isfinite(l["total_loss"]) and "wall_s" in l for l in lines)

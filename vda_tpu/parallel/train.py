@@ -29,24 +29,35 @@ class TrainState:
 
 def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
                    warmup_steps: int = 0, total_steps: int = 0,
-                   clip_norm: float = 0.0):
+                   clip_norm: float = 0.0, accum_steps: int = 1):
     """AdamW, optionally with linear warmup -> cosine decay (the standard
     fine-tuning schedule; the reference ships no trainer to compare against)
     and global-norm gradient clipping.
 
     total_steps > 0 enables the schedule (peak = learning_rate, floor =
-    learning_rate / 10); warmup_steps is the linear ramp from 0.
+    learning_rate / 10); warmup_steps is the linear ramp from 0, both
+    counted in OPTIMIZER updates (i.e. accumulation groups, not
+    micro-steps).
+
+    accum_steps > 1 wraps the whole chain in optax.MultiSteps: gradients
+    of k consecutive train_step calls are averaged and applied as one
+    AdamW update — the memory-free way to reach a large effective batch
+    on a small chip count (effective batch = B x k).
     """
     if total_steps > 0:
+        warmup = max(warmup_steps, 1)
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=learning_rate,
-            warmup_steps=max(warmup_steps, 1),
-            decay_steps=total_steps, end_value=learning_rate / 10.0)
+            warmup_steps=warmup,
+            decay_steps=max(total_steps, warmup + 1),
+            end_value=learning_rate / 10.0)
     else:
         lr = learning_rate
     opt = optax.adamw(lr, weight_decay=weight_decay)
     if clip_norm > 0.0:
         opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    if accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
     return opt
 
 

@@ -45,6 +45,8 @@ def train(
     augment_hw: Optional[tuple] = None,
     augment_seed: int = 0,
     prefetch: int = 2,
+    accum: int = 1,
+    metrics_path: Optional[str] = None,
 ):
     """Run ``num_steps`` of VideoDepthLoss fine-tuning.
 
@@ -64,6 +66,14 @@ def train(
     device_puts each batch with the data-parallel sharding (depth =
     ``prefetch``), overlapping host decode + H2D with device compute
     (utils/data.prefetch_to_device); 0 keeps the synchronous path.
+
+    accum > 1 averages the gradients of ``accum`` consecutive steps into one
+    AdamW update (optax.MultiSteps — effective batch = B x accum); the LR
+    schedule then counts optimizer updates, so it spans num_steps/accum.
+
+    metrics_path appends one JSON line per step ({step, losses, wall_s});
+    each write fetches the metrics to host, adding a device sync per step —
+    fine for fine-tuning-scale runs, disable for microbenchmarks.
 
     Under tp > 1 the params are converted to the head-aligned TP layout
     (mesh.to_tp_layout — checkpoints save in that layout; run
@@ -89,8 +99,9 @@ def train(
     params = jax.device_put(params, param_shardings(params, mesh))
     optimizer = make_optimizer(learning_rate,
                                warmup_steps=warmup_steps,
-                               total_steps=num_steps if schedule else 0,
-                               clip_norm=clip_norm)
+                               total_steps=(max(num_steps // accum, 1)
+                                            if schedule else 0),
+                               clip_norm=clip_norm, accum_steps=accum)
     state = init_train_state(params, optimizer)
     start_step = 0
     if ckpt_dir:
@@ -125,6 +136,13 @@ def train(
                     jax.random.fold_in(jax.random.PRNGKey(augment_seed),
                                        step), batch)
             state, metrics = step_fn(state, batch)
+            if metrics_path:
+                import json
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(
+                        {"step": step,
+                         **{k: float(v) for k, v in metrics.items()},
+                         "wall_s": round(time.time() - t0, 3)}) + "\n")
             if log_fn is not None:
                 log_fn(step, metrics)
             elif step % 10 == 0:
