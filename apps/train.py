@@ -153,6 +153,10 @@ def main(argv=None):
                              "= batch x accum)")
     parser.add_argument("--metrics", default=None,
                         help="append per-step loss JSONL to this path")
+    parser.add_argument("--export-pth", default=None,
+                        help="after training, export the final weights as a "
+                             "reference-format .pth (loadable by the torch "
+                             "reference with strict=True)")
     args = parser.parse_args(argv)
 
     import jax
@@ -196,6 +200,15 @@ def main(argv=None):
                               if args.augment_size else None),
                   prefetch=args.prefetch, accum=args.accum,
                   metrics_path=args.metrics)
+    if args.export_pth:
+        from vda_tpu.parallel.mesh import from_tp_layout
+        from vda_tpu.utils.convert import save_torch_checkpoint
+
+        final = jax.device_get(state.params)
+        if args.tp > 1:
+            final = from_tp_layout(final)
+        save_torch_checkpoint(args.export_pth, final, cfg)
+        print(f"exported reference-format weights to {args.export_pth}")
     print(f"done at step {int(state.step)}")
     return state
 

@@ -11,17 +11,22 @@ is multiplied by zero and depth comparisons have no power — these tests
 perturb proj_out so attention differences reach the depth.
 """
 
-import os
-
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
 
-# the direct path is opt-in until its Mosaic compile is proven on hardware
-# (read at dispatch time by StreamingDepth._direct_ok)
-os.environ["VDA_STREAM_DIRECT"] = "1"
+
+@pytest.fixture(autouse=True)
+def _direct_on(monkeypatch):
+    # the direct path is opt-in until its Mosaic compile is proven on
+    # hardware (read at dispatch time by StreamingDepth._direct_ok).
+    # monkeypatch scopes the flag to THIS module's tests — a module-level
+    # os.environ write would leak into every later test and silently move
+    # the other streaming tests off the production-default assembly path.
+    monkeypatch.setenv("VDA_STREAM_DIRECT", "1")
+
 
 from vda_tpu.config import get_config
 from vda_tpu.infer import StreamingDepth

@@ -323,7 +323,7 @@ class StreamingDepth:
         round-trip per frame.  The cache buffers are donated and never leave
         the device either way.
         """
-        self.id += 1
+        step_id = self.id + 1  # committed with order/free after dispatch
         if self.net_hw is None:
             h, w = frame.shape[:2]
             size = effective_input_size(h, w, self.input_size)
@@ -341,6 +341,7 @@ class StreamingDepth:
                         .at[:row.shape[0], 0].set(row))
 
             self.buffers = jax.tree_util.tree_map(make_buf, first_rows)
+            self.id = step_id
             self.order = [0] * INFER_LEN
             self.free = list(range(1, _BUF_ROWS))
             self._slide()
@@ -350,7 +351,7 @@ class StreamingDepth:
         # bookkeeping on COPIES, committed only after the dispatch succeeds —
         # a failed trace/compile must not advance order/free past the buffers
         order, free = list(self.order), list(self.free)
-        ctx, write_pos = _advance_bookkeeping(self.id, order, free)
+        ctx, write_pos = _advance_bookkeeping(step_id, order, free)
         if self._direct_ok(ctx):
             pos_map, valid = _pos_map(ctx)
             depth, self.buffers = _stream_step_direct(
@@ -364,7 +365,7 @@ class StreamingDepth:
                 jnp.asarray(ctx, jnp.int32), jnp.int32(write_pos),
                 self.cfg, self.net_hw, self.out_hw, self.dtype,
                 self.attn_impl, self.cache_kind)
-        self.order, self.free = order, free
+        self.id, self.order, self.free = step_id, order, free
         return depth
 
     def _direct_ok(self, *ctxs) -> bool:

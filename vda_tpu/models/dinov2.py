@@ -146,9 +146,19 @@ def _attention(p, x, num_heads: int, attn_impl: str,
         qkv3 = jnp.einsum("bnd,dke->bnke", x,
                           p["qkv"]["w"].astype(x.dtype))
         qkv3 = qkv3 + p["qkv"]["b"].astype(qkv3.dtype)
-        o = packed_self_attention(qkv3[..., 0, :], qkv3[..., 1, :],
-                                  qkv3[..., 2, :], num_heads,
-                                  scale=dh ** -0.5, impl="xla")
+        q, k, v = qkv3[..., 0, :], qkv3[..., 1, :], qkv3[..., 2, :]
+        if valid_len is not None and valid_len < n:
+            # encode() lane-pads tokens for the pallas granule; pad KEYS
+            # must not enter the softmax (pad q rows stay garbage — they
+            # are sliced off after the taps, like every row-independent op)
+            from vda_tpu.ops.attention import _xla_attention
+            qh = q.reshape(b, n, num_heads, dh)
+            kh = k[:, :valid_len].reshape(b, valid_len, num_heads, dh)
+            vh = v[:, :valid_len].reshape(b, valid_len, num_heads, dh)
+            o = _xla_attention(qh, kh, vh, dh ** -0.5).reshape(b, n, d)
+        else:
+            o = packed_self_attention(q, k, v, num_heads,
+                                      scale=dh ** -0.5, impl="xla")
         return linear(p["proj"], o)
     qkv = linear(p["qkv"], x)
     # fused qkv layout is [q | k | v] along the output dim
@@ -330,8 +340,10 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     out = {}
     apply_fn = block_apply
     if remat:
+        # drop_path_rate (arg 5) must be STATIC too: block_apply branches on
+        # `rate > 0.0` in Python, and jax.checkpoint traces keyword args
         apply_fn = jax.checkpoint(
-            functools.partial(block_apply), static_argnums=(2, 3, 4))
+            functools.partial(block_apply), static_argnums=(2, 3, 4, 5))
     if drop_path_rate > 0.0 and rng is not None:
         # stochastic depth: per-block static rates (DINOv2 linear decay
         # rule, reference dinov2.py:116-119) force the unrolled path
@@ -339,8 +351,8 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
         rates = [drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
         keys = jax.random.split(rng, depth)
         for i, bp in enumerate(params["blocks"]):
-            h = apply_fn(bp, h, cfg, attn_impl, valid_len,
-                         drop_path_rate=rates[i], rng=keys[i])
+            h = apply_fn(bp, h, cfg, attn_impl, valid_len, rates[i],
+                         rng=keys[i])
             if i in taps or i == cfg.depth - 1:
                 out[i] = h
     elif scan_blocks:
@@ -349,19 +361,20 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
         for end in boundaries:
             seg = params["blocks"][start:end + 1]
             if len(seg) == 1:
-                h = apply_fn(seg[0], h, cfg, attn_impl, valid_len)
+                h = apply_fn(seg[0], h, cfg, attn_impl, valid_len, 0.0)
             else:
                 stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *seg)
 
                 def body(carry, bp):
-                    return apply_fn(bp, carry, cfg, attn_impl, valid_len), None
+                    return apply_fn(bp, carry, cfg, attn_impl, valid_len,
+                                    0.0), None
 
                 h, _ = jax.lax.scan(body, h, stacked)
             out[end] = h
             start = end + 1
     else:
         for i, bp in enumerate(params["blocks"]):
-            h = apply_fn(bp, h, cfg, attn_impl, valid_len)
+            h = apply_fn(bp, h, cfg, attn_impl, valid_len, 0.0)
             if i in taps:
                 out[i] = h
     result = []

@@ -250,14 +250,15 @@ def dpt_head_spatial_apply(p, features, patch_hw):
 
 
 def _with_temporal(p_mm, x, cfg, frame_length, cache, want_kv=False,
-                   need_caches=True):
+                   need_caches=True, attn_impl="auto"):
     """Run a TemporalModule on (B*T, h, w, C) features."""
     bt, hh, ww, c = x.shape
     b = bt // frame_length
     xt = x.reshape(b, frame_length, hh, ww, c)
     yt, new_cache = temporal_module_apply(p_mm, xt, cfg, cache,
                                           want_kv=want_kv,
-                                          need_caches=need_caches)
+                                          need_caches=need_caches,
+                                          attn_impl=attn_impl)
     return yt.reshape(bt, hh, ww, c), new_cache
 
 
@@ -270,6 +271,7 @@ def dpt_head_temporal_stage(
     cached_hidden_state_list: Optional[List] = None,
     cache_kind: str = "h",
     need_caches: bool = True,
+    attn_impl: str = "auto",
 ):
     """Cache-coupled front of DPTHeadTemporal (reference dpt_temporal.py:
     53-123 up to the refinenet3 output).
@@ -300,10 +302,10 @@ def dpt_head_temporal_stage(
     want_kv = cache_kind == "kv"
     layer_3, h0 = _with_temporal(p["motion_modules"][0], layer_3, cfg,
                                  frame_length, cache_slice(0), want_kv,
-                                 need_caches)
+                                 need_caches, attn_impl)
     layer_4, h1 = _with_temporal(p["motion_modules"][1], layer_4, cfg,
                                  frame_length, cache_slice(1), want_kv,
-                                 need_caches)
+                                 need_caches, attn_impl)
 
     l1 = conv2d(p["scratch"]["layer1_rn"], layer_1, padding=1)
     l2 = conv2d(p["scratch"]["layer2_rn"], layer_2, padding=1)
@@ -313,11 +315,11 @@ def dpt_head_temporal_stage(
     path_4 = _fusion(p["refinenet4"], l4, size=l3.shape[1:3])
     path_4, h2 = _with_temporal(p["motion_modules"][2], path_4, cfg,
                                 frame_length, cache_slice(2), want_kv,
-                                need_caches)
+                                need_caches, attn_impl)
     path_3 = _fusion(p["refinenet3"], path_4, l3, size=l2.shape[1:3])
     path_3, h3 = _with_temporal(p["motion_modules"][3], path_3, cfg,
                                 frame_length, cache_slice(3), want_kv,
-                                need_caches)
+                                need_caches, attn_impl)
     return (path_3, l2, l1), h0 + h1 + h2 + h3
 
 
@@ -358,6 +360,7 @@ def dpt_head_temporal_apply(
     micro_batch_size: int = 4,
     cache_kind: str = "h",
     need_caches: bool = True,
+    attn_impl: str = "auto",
 ):
     """DPTHeadTemporal forward (reference dpt_temporal.py:53-125).
 
@@ -375,7 +378,8 @@ def dpt_head_temporal_apply(
     stage_out, caches = dpt_head_temporal_stage(
         p, features, patch_hw, frame_length, cfg,
         cached_hidden_state_list=cached_hidden_state_list,
-        cache_kind=cache_kind, need_caches=need_caches)
+        cache_kind=cache_kind, need_caches=need_caches,
+        attn_impl=attn_impl)
     depth = dpt_head_temporal_tail(p, stage_out, patch_hw,
                                    micro_batch_size=micro_batch_size)
     return depth, caches

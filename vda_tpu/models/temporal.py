@@ -124,7 +124,8 @@ def init_temporal_module(key, in_channels: int, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 def _temporal_attention(p, h, cfg: ModelConfig,
-                        cache, want_kv: bool = False):
+                        cache, want_kv: bool = False,
+                        attn_impl: str = "auto"):
     """h: (BD, T_new, C) sequences (already rearranged per spatial position).
 
     cache: None, a (BD, T_cache, C) array of pre-PE hidden states (the
@@ -182,6 +183,7 @@ def _temporal_attention(p, h, cfg: ModelConfig,
     dh = c // heads
     t_q = q.shape[1]
     use_kernel = (t_q == t_full and t_full <= 64 and dh % 8 == 0
+                  and attn_impl != "xla"  # pallas kernels have no VJP rule
                   and not cfg.tp_layout and _on_tpu_or_interpret())
     if use_kernel:
         from vda_tpu.ops.pallas_attention import tiny_seq_attention
@@ -317,11 +319,15 @@ def _on_tpu_or_interpret() -> bool:
 
 
 def _transformer_block(p, h, cfg: ModelConfig, caches, want_kv: bool = False,
-                       need_caches: bool = True):
+                       need_caches: bool = True, attn_impl: str = "auto"):
     """h: (BD, T_new, C).  Reference motion_module.py:172-189."""
     c = h.shape[-1]
     from vda_tpu.ops.pallas_temporal import attn_fused_supported
+    # attn_impl="xla" must disable the Pallas kernels entirely: training
+    # (parallel/train.make_train_step) differentiates this path and
+    # pallas_call has no autodiff rule
     use_attn_fused = (caches is None and not want_kv and not need_caches
+                      and attn_impl != "xla"
                       and not cfg.tp_layout
                       and attn_fused_supported(c, h.shape[1], cfg.pe,
                                                cfg.num_attention_heads)
@@ -341,7 +347,7 @@ def _transformer_block(p, h, cfg: ModelConfig, caches, want_kv: bool = False,
         hn = layer_norm(p["norms"][i], h, eps=1e-5)
         attn_out, input_hs = _temporal_attention(
             p["attn"][i], hn, cfg, caches[i] if caches is not None else None,
-            want_kv=want_kv)
+            want_kv=want_kv, attn_impl=attn_impl)
         h = attn_out + h
         out_caches.append(input_hs)
     # GEGLU FF (reference motion_module/attention.py:363-384).  MEASURED
@@ -361,6 +367,7 @@ def temporal_module_apply(
     cache_list: Optional[List] = None,
     want_kv: bool = False,
     need_caches: bool = True,
+    attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, List]:
     """Apply one TemporalModule.
 
@@ -389,6 +396,7 @@ def temporal_module_apply(
 
     from vda_tpu.ops.pallas_temporal import fused_block_supported
     use_fused = (cache_list is None and not want_kv and not need_caches
+                 and attn_impl != "xla"  # training path must stay autodiff-able
                  and not cfg.tp_layout
                  and fused_block_supported(c, t, cfg.pe,
                                            cfg.num_attention_heads,
@@ -411,7 +419,8 @@ def temporal_module_apply(
                 caches = cache_list[i * n_per:(i + 1) * n_per]
             h, out_caches = _transformer_block(bp, h, cfg, caches,
                                                want_kv=want_kv,
-                                               need_caches=need_caches)
+                                               need_caches=need_caches,
+                                               attn_impl=attn_impl)
             all_caches.extend(out_caches)
 
     h = h.reshape(b, hh * ww, t, c).transpose(0, 2, 1, 3)

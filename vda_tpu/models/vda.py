@@ -49,7 +49,7 @@ def forward_features(params, x, cfg: ModelConfig, attn_impl: str = "auto",
 def forward_depth(params, features, x_shape, cfg: ModelConfig,
                   cached_hidden_state_list: Optional[List] = None,
                   micro_batch_size: int = 4, cache_kind: str = "h",
-                  need_caches: bool = True):
+                  need_caches: bool = True, attn_impl: str = "auto"):
     """Head + resize + relu (reference video_depth_stream.py:69-75).
 
     Returns (depth (B, T, H, W), new_cache_list[8]).  cache_kind="kv"
@@ -64,7 +64,7 @@ def forward_depth(params, features, x_shape, cfg: ModelConfig,
         params["head"], features, patch_hw, t, cfg,
         cached_hidden_state_list=cached_hidden_state_list,
         micro_batch_size=micro_batch_size, cache_kind=cache_kind,
-        need_caches=need_caches)
+        need_caches=need_caches, attn_impl=attn_impl)
     depth = resize_bilinear(depth, (h, w), align_corners=True)
     depth = jax.nn.relu(depth)
     return depth[..., 0].reshape(b, t, h, w), caches
@@ -78,5 +78,5 @@ def forward(params, x, cfg: ModelConfig, attn_impl: str = "auto",
                                 drop_path_rate=drop_path_rate, rng=rng)
     depth, _ = forward_depth(params, features, x.shape, cfg,
                              micro_batch_size=micro_batch_size,
-                             need_caches=False)
+                             need_caches=False, attn_impl=attn_impl)
     return depth

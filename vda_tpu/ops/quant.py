@@ -13,8 +13,10 @@ scripts/bench_int8_pallas.py).  This module provides:
 Accuracy: weight+activation symmetric int8 on ViT-style matmuls carries
 ~0.5-1% relative error per layer (bounded in tests/test_quant.py).  End-to-
 end depth accuracy is NOT validated against real checkpoints yet (no egress
-in this environment), so the path is strictly opt-in:
-``cast_params_for_inference(quant="int8")`` or ``VDA_BENCH_QUANT=int8``.
+in this environment), so the path is NOT wired into the model hot path
+(demoted r3 after the e2e measurement below): use ``quantize_weight`` +
+``int8_linear`` directly, or benchmark the kernel standalone via
+``scripts/bench_int8_pallas.py``.
 No reference counterpart (the reference has no quantized path).
 
 Measured (vitl window, v5e): 11.39 vs 11.46 ms/frame bf16 — ~0.6%.  The

@@ -232,6 +232,169 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig):
     return convert_state_dict(sd, cfg)
 
 
+def _it(a):  # linear weight inverse: (in, out) -> (out, in)
+    return np.ascontiguousarray(np.asarray(a, np.float32).T)
+
+
+def _iconv(a):  # HWIO -> OIHW
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(a, np.float32), (3, 2, 0, 1)))
+
+
+def _ideconv(a):  # (Cin, kH, kW, Cout) -> (Cin, Cout, kH, kW)
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(a, np.float32), (0, 3, 1, 2)))
+
+
+def _iarr(a):
+    return np.ascontiguousarray(np.asarray(a, np.float32))
+
+
+def _export_linear(out, p, prefix):
+    out[f"{prefix}.weight"] = _it(p["w"])
+    if "b" in p:
+        out[f"{prefix}.bias"] = _iarr(p["b"])
+
+
+def _export_conv(out, p, prefix):
+    out[f"{prefix}.weight"] = _iconv(p["w"])
+    if "b" in p:
+        out[f"{prefix}.bias"] = _iarr(p["b"])
+
+
+def _export_ln(out, p, prefix):
+    out[f"{prefix}.weight"] = _iarr(p["scale"])
+    out[f"{prefix}.bias"] = _iarr(p["bias"])
+
+
+def _reference_pe(max_len: int, d_model: int) -> np.ndarray:
+    """The reference's persistent ``pos_encoder.pe`` buffer
+    (motion_module.py:192-206), (1, max_len, d_model) fp32.
+
+    Computed through torch when available so exported checkpoints are
+    BIT-identical to reference-built ones (torch's fp32 exp/sin differ from
+    numpy's in the last ulp); the numpy fallback matches to ~1.6e-6, far
+    below the buffer's effect on any output (the reference overwrites it at
+    load anyway — it is deterministic)."""
+    try:
+        import math
+
+        import torch
+
+        position = torch.arange(max_len).unsqueeze(1)
+        div_term = torch.exp(torch.arange(0, d_model, 2)
+                             * (-math.log(10000.0) / d_model))
+        pe = torch.zeros(1, max_len, d_model)
+        pe[0, :, 0::2] = torch.sin(position * div_term)
+        pe[0, :, 1::2] = torch.cos(position * div_term)
+        return pe.numpy()
+    except ImportError:
+        from vda_tpu.models.temporal import _sinusoidal_pe
+
+        return _sinusoidal_pe(max_len, d_model)[None].astype(np.float32)
+
+
+def export_state_dict(params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_state_dict``: params pytree -> reference-format
+    flat state dict (torch key names + torch layouts, fp32 numpy arrays).
+
+    Lets a model fine-tuned here be loaded by the reference's
+    ``load_state_dict(strict=True)`` (reference run.py:50-54) — including the
+    deterministic ``pos_encoder.pe`` buffers the reference registers for APE
+    motion modules (motion_module.py:192-206).  TP-layout params
+    (parallel/mesh.to_tp_layout) are converted back automatically.
+
+    Round-trip ``convert_state_dict(export_state_dict(p)) == p`` is exact
+    (pure transposes); tested in tests/test_convert.py.
+    """
+    if params["pretrained"]["blocks"][0]["attn"]["qkv"]["w"].ndim == 3:
+        from vda_tpu.parallel.mesh import from_tp_layout
+        params = from_tp_layout(params)
+
+    out: Dict[str, np.ndarray] = {}
+    enc = params["pretrained"]
+    vit = cfg.vit
+    out["pretrained.cls_token"] = _iarr(enc["cls_token"]).reshape(1, 1, -1)
+    out["pretrained.mask_token"] = _iarr(enc["mask_token"]).reshape(1, -1)
+    out["pretrained.pos_embed"] = _iarr(enc["pos_embed"])
+    _export_conv(out, enc["patch_embed"], "pretrained.patch_embed.proj")
+    for i, bp in enumerate(enc["blocks"]):
+        pre = f"pretrained.blocks.{i}"
+        _export_ln(out, bp["norm1"], f"{pre}.norm1")
+        _export_linear(out, bp["attn"]["qkv"], f"{pre}.attn.qkv")
+        _export_linear(out, bp["attn"]["proj"], f"{pre}.attn.proj")
+        out[f"{pre}.ls1.gamma"] = _iarr(bp["ls1"])
+        _export_ln(out, bp["norm2"], f"{pre}.norm2")
+        out[f"{pre}.ls2.gamma"] = _iarr(bp["ls2"])
+        if vit.ffn_layer == "swiglufused":
+            _export_linear(out, bp["mlp"]["w12"], f"{pre}.mlp.w12")
+            _export_linear(out, bp["mlp"]["w3"], f"{pre}.mlp.w3")
+        else:
+            _export_linear(out, bp["mlp"]["fc1"], f"{pre}.mlp.fc1")
+            _export_linear(out, bp["mlp"]["fc2"], f"{pre}.mlp.fc2")
+    _export_ln(out, enc["norm"], "pretrained.norm")
+
+    head = params["head"]
+    for i in range(4):
+        _export_conv(out, head["projects"][i], f"head.projects.{i}")
+    out["head.resize_layers.0.weight"] = _ideconv(head["resize0"]["w"])
+    out["head.resize_layers.0.bias"] = _iarr(head["resize0"]["b"])
+    out["head.resize_layers.1.weight"] = _ideconv(head["resize1"]["w"])
+    out["head.resize_layers.1.bias"] = _iarr(head["resize1"]["b"])
+    _export_conv(out, head["resize3"], "head.resize_layers.3")
+    for i in range(1, 5):
+        _export_conv(out, head["scratch"][f"layer{i}_rn"],
+                     f"head.scratch.layer{i}_rn")
+    for j in range(1, 5):
+        fp = head[f"refinenet{j}"]
+        pre = f"head.scratch.refinenet{j}"
+        for rcu, rp in (("rcu1", "resConfUnit1"), ("rcu2", "resConfUnit2")):
+            _export_conv(out, fp[rcu]["conv1"], f"{pre}.{rp}.conv1")
+            _export_conv(out, fp[rcu]["conv2"], f"{pre}.{rp}.conv2")
+        _export_conv(out, fp["out_conv"], f"{pre}.out_conv")
+    _export_conv(out, head["output_conv1"], "head.scratch.output_conv1")
+    _export_conv(out, head["output_conv2"]["conv0"],
+                 "head.scratch.output_conv2.0")
+    _export_conv(out, head["output_conv2"]["conv1"],
+                 "head.scratch.output_conv2.2")
+
+    for i, mm in enumerate(head["motion_modules"]):
+        tt = f"head.motion_modules.{i}.temporal_transformer"
+        _export_ln(out, mm["norm"], f"{tt}.norm")
+        _export_linear(out, mm["proj_in"], f"{tt}.proj_in")
+        for b, bp in enumerate(mm["blocks"]):
+            bpre = f"{tt}.transformer_blocks.{b}"
+            for a, ap in enumerate(bp["attn"]):
+                apre = f"{bpre}.attention_blocks.{a}"
+                _export_linear(out, ap["to_q"], f"{apre}.to_q")
+                _export_linear(out, ap["to_k"], f"{apre}.to_k")
+                _export_linear(out, ap["to_v"], f"{apre}.to_v")
+                _export_linear(out, ap["to_out"], f"{apre}.to_out.0")
+                if cfg.pe == "ape":
+                    # deterministic buffer the reference registers
+                    # persistently (motion_module.py:201-206; max_len =
+                    # num_frames via dpt_temporal.py:38)
+                    c = np.asarray(ap["to_q"]["w"]).shape[0]
+                    out[f"{apre}.pos_encoder.pe"] = _reference_pe(
+                        cfg.num_frames, c)
+                _export_ln(out, bp["norms"][a], f"{bpre}.norms.{a}")
+            _export_linear(out, bp["ff"]["proj"], f"{bpre}.ff.net.0.proj")
+            _export_linear(out, bp["ff"]["out"], f"{bpre}.ff.net.2")
+            _export_ln(out, bp["ff_norm"], f"{bpre}.ff_norm")
+        _export_linear(out, mm["proj_out"], f"{tt}.proj_out")
+    return out
+
+
+def save_torch_checkpoint(path: str, params, cfg: ModelConfig):
+    """Write a reference-loadable ``.pth`` (torch.save of the flat fp32
+    state dict from ``export_state_dict``)."""
+    import torch  # host-side only; never used in the compute path
+
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_state_dict(params, cfg).items()}
+    torch.save(sd, path)
+
+
 def cast_params_for_inference(params, dtype="bfloat16"):
     """Cast weights to the compute dtype once, halving HBM weight traffic.
 
