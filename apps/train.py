@@ -4,8 +4,10 @@
 The reference ships VideoDepthLoss but no trainer (SURVEY §3.5); this is the
 TPU-native training entry point: sharded AdamW steps over a ('data','model')
 mesh with orbax checkpoint/resume.  Data comes from a directory of .npz
-shards (keys: video (B,T,H,W,3) uint8 or float, depth (B,T,H,W), mask) or
---synthetic for a smoke run.
+shards (keys: video (B,T,H,W,3) uint8 or float RAW RGB in [0,1],
+depth (B,T,H,W), mask), a benchmark-extract --manifest, or --synthetic for a
+smoke run.  ImageNet normalization happens INSIDE the train step — shards
+must NOT be pre-normalized (guarded in npz_data_iter).
 """
 
 import argparse
@@ -28,6 +30,12 @@ def npz_data_iter(data_dir: str, loop: bool = True):
                 video = z["video"]
                 if video.dtype == np.uint8:
                     video = video.astype(np.float32) / 255.0
+                elif float(video.min()) < -0.05 or float(video.max()) > 1.5:
+                    raise ValueError(
+                        f"{path}: float video outside [0, 1] — shards must "
+                        "hold RAW RGB (ImageNet normalization happens inside "
+                        "the train step; pre-normalized data would be "
+                        "normalized twice)")
                 yield {
                     "video": video.astype(np.float32),
                     "depth": z["depth"].astype(np.float32),
@@ -68,11 +76,18 @@ def manifest_clip_iter(manifest_path: str, batch: int, frames: int,
     def load_clip(entries, start):
         vid, dep = [], []
         for e in entries[start:start + frames]:
-            img = cv2.cvtColor(cv2.imread(os.path.join(root, e["image"])),
-                               cv2.COLOR_BGR2RGB)
+            # cv2.imread returns None instead of raising — name the file
+            img = cv2.imread(os.path.join(root, e["image"]))
+            if img is None:
+                raise FileNotFoundError(
+                    f"unreadable image: {os.path.join(root, e['image'])}")
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             d = cv2.imread(os.path.join(root, e["gt_depth"]),
-                           cv2.IMREAD_UNCHANGED).astype(np.float32)
-            d /= float(e.get("factor", 1.0))
+                           cv2.IMREAD_UNCHANGED)
+            if d is None:
+                raise FileNotFoundError(
+                    f"unreadable depth: {os.path.join(root, e['gt_depth'])}")
+            d = d.astype(np.float32) / float(e.get("factor", 1.0))
             vid.append(cv2.resize(img, (size, size),
                                   interpolation=cv2.INTER_AREA))
             dep.append(cv2.resize(d, (size, size),
@@ -201,13 +216,11 @@ def main(argv=None):
                   prefetch=args.prefetch, accum=args.accum,
                   metrics_path=args.metrics)
     if args.export_pth:
-        from vda_tpu.parallel.mesh import from_tp_layout
         from vda_tpu.utils.convert import save_torch_checkpoint
 
-        final = jax.device_get(state.params)
-        if args.tp > 1:
-            final = from_tp_layout(final)
-        save_torch_checkpoint(args.export_pth, final, cfg)
+        # TP-layout params are detected and unconverted by export itself
+        save_torch_checkpoint(args.export_pth, jax.device_get(state.params),
+                              cfg)
         print(f"exported reference-format weights to {args.export_pth}")
     print(f"done at step {int(state.step)}")
     return state

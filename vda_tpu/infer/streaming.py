@@ -327,11 +327,11 @@ class StreamingDepth:
         if self.net_hw is None:
             h, w = frame.shape[:2]
             size = effective_input_size(h, w, self.input_size)
-            self.net_hw = compute_resize_hw(h, w, size)
-            self.out_hw = (h, w)
-            depth, first_rows = _first_step(
-                self.params, jnp.asarray(frame), self.cfg, self.net_hw,
-                self.out_hw, self.dtype, self.attn_impl, self.cache_kind)
+            net_hw = compute_resize_hw(h, w, size)  # committed after dispatch:
+            out_hw = (h, w)   # a failed FIRST dispatch must leave net_hw None
+            depth, first_rows = _first_step(   # so a retry redoes this branch
+                self.params, jnp.asarray(frame), self.cfg, net_hw,
+                out_hw, self.dtype, self.attn_impl, self.cache_kind)
 
             # replication trick (reference :118): the first frame's cache is
             # stored once; the first INFER_LEN logical entries all map to row 0
@@ -341,6 +341,7 @@ class StreamingDepth:
                         .at[:row.shape[0], 0].set(row))
 
             self.buffers = jax.tree_util.tree_map(make_buf, first_rows)
+            self.net_hw, self.out_hw = net_hw, out_hw
             self.id = step_id
             self.order = [0] * INFER_LEN
             self.free = list(range(1, _BUF_ROWS))

@@ -64,7 +64,9 @@ def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
 def make_train_step(cfg: ModelConfig, optimizer=None,
                     micro_batch_size: int | None = None,
                     remat: bool = True,
-                    drop_path_rate: float = 0.0) -> Callable:
+                    drop_path_rate: float = 0.0,
+                    augment_hw: tuple | None = None,
+                    augment_seed: int = 0) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: dict(video (B,T,H,W,3) RAW RGB in [0, 1], depth (B,T,H,W),
@@ -79,6 +81,12 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
     fine-tuning recipe, reference drop_path.py:18-35 + dinov2.py:116-119);
     the per-step rng is folded from the step counter, so training remains a
     pure function of (state, batch).
+
+    augment_hw=(h, w) applies the on-device clip augmentation
+    (utils/augment.augment_batch) INSIDE the step — one dispatch, no
+    intermediate batch materialized between two jits, XLA free to overlap
+    the crop matmuls with the forward.  The rng folds ``augment_seed`` with
+    state.step, so a resumed run replays the same augmentation stream.
     """
     if optimizer is None:
         optimizer = make_optimizer()
@@ -101,6 +109,12 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
         return losses["total_loss"], losses
 
     def train_step(state: TrainState, batch):
+        if augment_hw is not None:
+            from vda_tpu.utils.augment import augment_batch
+
+            akey = jax.random.fold_in(jax.random.PRNGKey(augment_seed),
+                                      state.step)
+            batch = augment_batch(akey, batch, out_hw=tuple(augment_hw))
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, state.step)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,

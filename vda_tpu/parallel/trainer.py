@@ -107,15 +107,9 @@ def train(
     if ckpt_dir:
         state, start_step = resume_or_init(ckpt_dir, state)
 
-    step_fn = jax.jit(make_train_step(cfg, optimizer))
-    aug_fn = None
-    if augment_hw is not None:
-        import functools
-
-        from vda_tpu.utils.augment import augment_batch
-
-        aug_fn = jax.jit(functools.partial(augment_batch,
-                                           out_hw=tuple(augment_hw)))
+    step_fn = jax.jit(make_train_step(cfg, optimizer,
+                                      augment_hw=augment_hw,
+                                      augment_seed=augment_seed))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -131,10 +125,6 @@ def train(
             if step >= num_steps:
                 break
             batch = jax.device_put(batch, batch_sharding)
-            if aug_fn is not None:
-                batch = aug_fn(
-                    jax.random.fold_in(jax.random.PRNGKey(augment_seed),
-                                       step), batch)
             state, metrics = step_fn(state, batch)
             if metrics_path:
                 import json

@@ -40,16 +40,19 @@ def _lerp_matrix(in_size: int, out_size: int, lo, hi):
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - j[None, :]))
 
 
-def _resample_clip(clip, wy, wx):
-    """clip: (T, H, W, C) -> (T, out_h, out_w, C) via the two lerp matmuls."""
-    y = jnp.einsum("oh,thwc->towc", wy, clip)
-    return jnp.einsum("pw,towc->topc", wx, y)
+def _resample_clip(clip, wy, wx, precision=None):
+    """clip: (T, H, W, C) -> (T, out_h, out_w, C) via the two lerp matmuls.
+
+    precision: TPU fp32 einsums run at DEFAULT precision (operands rounded
+    to bf16, rel error ~2e-3); supervision targets (depth/mask) pass
+    HIGHEST so ground truth is resampled in true fp32."""
+    y = jnp.einsum("oh,thwc->towc", wy, clip, precision=precision)
+    return jnp.einsum("pw,towc->topc", wx, y, precision=precision)
 
 
-def _sample_box(key, in_size: int, out_size: int, scale_range):
+def _sample_box(key, in_size: int, scale_range):
     """Random crop span along one axis: a length in ``scale_range`` x in_size
-    (never below what keeps magnification sane for out_size=anything — the
-    lerp matrix handles up/downscale alike) and a uniform offset."""
+    and a uniform offset (the lerp matrix handles up/downscale alike)."""
     k1, k2 = jax.random.split(key)
     lo_s, hi_s = scale_range
     span = (in_size - 1) * jax.random.uniform(k1, (), jnp.float32, lo_s, hi_s)
@@ -67,13 +70,16 @@ def random_resized_crop(key, video, depth, mask, out_hw: Tuple[int, int],
     """
     t, h, w = video.shape[0], video.shape[1], video.shape[2]
     ky, kx = jax.random.split(key)
-    y0, y1 = _sample_box(ky, h, out_hw[0], scale_range)
-    x0, x1 = _sample_box(kx, w, out_hw[1], scale_range)
+    y0, y1 = _sample_box(ky, h, scale_range)
+    x0, x1 = _sample_box(kx, w, scale_range)
     wy = _lerp_matrix(h, out_hw[0], y0, y1)
     wx = _lerp_matrix(w, out_hw[1], x0, x1)
     video_o = _resample_clip(video, wy, wx)
     dm = jnp.stack([depth, mask.astype(jnp.float32)], axis=-1)  # (T,H,W,2)
-    dm_o = _resample_clip(dm, wy, wx)
+    # HIGHEST: ground truth must resample in true fp32 — at TPU default
+    # precision a fully-valid pixel lands at 1.0 +- ~4e-3 and the strict
+    # threshold would randomly invalidate good supervision
+    dm_o = _resample_clip(dm, wy, wx, precision=jax.lax.Precision.HIGHEST)
     mask_o = dm_o[..., 1] > 0.999   # valid only if every contributor valid
     return video_o, dm_o[..., 0], mask_o
 
