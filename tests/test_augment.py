@@ -35,10 +35,16 @@ def test_crop_flip_consistent_across_modalities():
     assert out["video"].shape == (B, T, *OUT, 3)
     assert out["depth"].shape == (B, T, *OUT)
     assert out["mask"].shape == (B, T, *OUT)
-    # the same box/flip hit video and depth
-    np.testing.assert_allclose(np.asarray(out["video"][..., 0]),
-                               np.asarray(out["depth"]), rtol=1e-5,
-                               atol=1e-6)
+    # the same box/flip hit video (bilinear) and depth (nearest tap): on the
+    # smooth ramp they agree to within one source grid cell
+    cell = 0.6 / (H - 1) + 0.4 / (W - 1)
+    assert float(np.abs(np.asarray(out["video"][..., 0])
+                        - np.asarray(out["depth"])).max()) <= cell + 1e-6
+    # nearest resampling NEVER invents depth values: every output value
+    # exists somewhere in the source depth
+    src = np.unique(np.asarray(_ramp_batch()["depth"]))
+    got = np.asarray(out["depth"]).ravel()
+    assert np.isin(np.round(got, 6), np.round(src, 6)).all()
     # a fully valid input stays fully valid (box is inside the image)
     assert bool(np.asarray(out["mask"]).all())
 

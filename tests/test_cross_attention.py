@@ -89,3 +89,24 @@ def test_feed_forward_parity(ref_attn_mod, act):
     }
     ours = feed_forward(p, jnp.asarray(x), activation_fn=act)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+# appended to tests/test_cross_attention.py and tests/test_ops.py
+
+
+def test_group_norm_init_and_forward():
+    """init_cross_attention(norm_num_groups=...) creates the params the
+    group_norm_groups forward path consumes (round-3 review gap)."""
+    import jax
+    import numpy as np
+
+    from vda_tpu.models.cross_attention import (
+        cross_attention,
+        init_cross_attention,
+    )
+
+    p = init_cross_attention(jax.random.PRNGKey(0), 64, heads=4, dim_head=16,
+                             norm_num_groups=8)
+    assert "group_norm" in p
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 64))
+    out = cross_attention(p, h, heads=4, group_norm_groups=8)
+    assert out.shape == (2, 10, 64)
+    assert np.isfinite(np.asarray(out)).all()

@@ -262,3 +262,35 @@ class TestAttention:
         probs /= probs.sum(-1, keepdims=True)
         ref = np.einsum("bhqk,bkhd->bqhd", probs, v)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_resize_fused_grad(monkeypatch):
+    """The opt-in fused resize kernel must be differentiable (custom VJP
+    running the XLA separable reference backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("VDA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VDA_RESIZE_KERNEL", "1")
+    from vda_tpu.ops import pallas_resize
+    from vda_tpu.ops.resize import _apply_separable, _linear_matrix
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 14, 14, 128),
+                          jnp.float32).astype(jnp.bfloat16)
+    out_hw = (28, 28)
+    assert pallas_resize.supported(x, out_hw, True, None)
+
+    def loss_fused(x):
+        return jnp.sum(pallas_resize.resize_bilinear_fused(x, out_hw)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_ref(x):
+        y = _apply_separable(x, _linear_matrix(14, 28, True, None),
+                             _linear_matrix(14, 28, True, None))
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss_fused)(x).astype(jnp.float32)
+    g_ref = jax.grad(loss_ref)(x).astype(jnp.float32)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-2, atol=5e-2)

@@ -233,3 +233,41 @@ def test_trainer_metrics_jsonl(tiny_cfg, tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert [l["step"] for l in lines] == [0, 1]
     assert all(np.isfinite(l["total_loss"]) and "wall_s" in l for l in lines)
+
+
+def test_trainer_resume_on_mesh(tiny_cfg, tmp_path):
+    """Resume must (a) restore a checkpoint whose scalar optimizer counters
+    were committed to one device without fighting the trainer's mesh context
+    (utils/checkpoint.restore_train_state uncommits scalars), and (b) skip
+    the data batches the crashed run already consumed, so the resumed stream
+    continues where the unbroken run would be."""
+    from vda_tpu.parallel.trainer import train
+
+    params = init_video_depth_anything(jax.random.PRNGKey(0), tiny_cfg)
+    s = tiny_cfg.vit.img_size
+    ndev = len(jax.devices())
+    pulled = []
+
+    def data():
+        i = 0
+        while True:
+            pulled.append(i)
+            rng = np.random.default_rng(100 + i)
+            yield {
+                "video": rng.uniform(0, 1, (ndev, 2, s, s, 3)).astype(
+                    np.float32),
+                "depth": rng.uniform(0.1, 2, (ndev, 2, s, s)).astype(
+                    np.float32),
+                "mask": np.ones((ndev, 2, s, s), bool),
+            }
+            i += 1
+
+    ck = str(tmp_path / "ck")
+    train(tiny_cfg, params, data(), num_steps=2, ckpt_dir=ck, ckpt_every=1,
+          schedule=True, warmup_steps=1)
+    pulled.clear()
+    st = train(tiny_cfg, params, data(), num_steps=4, ckpt_dir=ck,
+               ckpt_every=10, schedule=True, warmup_steps=1)
+    assert int(st.step) == 4
+    # batches 0,1 were skipped (pulled but not trained on), then 2,3 used
+    assert pulled[:4] == [0, 1, 2, 3]

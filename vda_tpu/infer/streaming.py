@@ -65,6 +65,22 @@ def _pad_rows(n: int) -> int:
     return -(-n // ROW_TILE) * ROW_TILE
 
 
+def _to_out_depth(depth, out_hw):
+    """forward_depth output (1, T, h, w) -> (H, W) fp32 depth at out_hw for
+    T == 1 (the common streaming epilogue, shared by every step flavor)."""
+    from vda_tpu.ops.resize import resize_bilinear
+
+    d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
+                        align_corners=True)
+    return d[0, ..., 0]
+
+
+def _write_row(buf, nc, write_pos):
+    """Write a new (BHW, 1, C) cache row into the (BHW_pad, ROWS, C) buffer
+    at ``write_pos`` (shared by every step flavor)."""
+    return buf.at[:nc.shape[0], write_pos].set(nc[:, 0].astype(buf.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
                                              "attn_impl", "cache_kind"))
 def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
@@ -74,9 +90,7 @@ def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
     feats = forward_features(params, x, cfg, attn_impl)
     depth, caches = forward_depth(params, feats, x.shape, cfg,
                                   cache_kind=cache_kind)
-    from vda_tpu.ops.resize import resize_bilinear
-    d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
-                        align_corners=True)[0, ..., 0]
+    d = _to_out_depth(depth, out_hw)
     if cache_kind == "kv":
         return d, [(k[:, 0], v[:, 0]) for k, v in caches]
     return d, [c[:, 0] for c in caches]  # each (BHW, C)
@@ -112,15 +126,11 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
                                       cached_hidden_state_list=cache_list,
                                       cache_kind=cache_kind)
-    from vda_tpu.ops.resize import resize_bilinear
-    d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
-                        align_corners=True)[0, ..., 0]
-
-    def write(buf, nc):
-        # nc is unpadded (BHW, 1, C); buffers carry _pad_rows(BHW) rows
-        return buf.at[:nc.shape[0], write_pos].set(nc[:, 0].astype(buf.dtype))
-
-    new_buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
+    d = _to_out_depth(depth, out_hw)
+    # new rows are unpadded (BHW, 1, C); buffers carry _pad_rows(BHW) rows
+    new_buffers = jax.tree_util.tree_map(
+        lambda buf, nc: _write_row(buf, nc, write_pos),
+        buffers, list(new_caches))
     return d, new_buffers
 
 
@@ -145,14 +155,10 @@ def _stream_step_direct(params, frame_u8, buffers, pos_map, valid, write_pos,
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
                                       cached_hidden_state_list=cache_list,
                                       cache_kind="kv")
-    from vda_tpu.ops.resize import resize_bilinear
-    d = resize_bilinear(depth[0][..., None].astype(jnp.float32), out_hw,
-                        align_corners=True)[0, ..., 0]
-
-    def write(buf, nc):
-        return buf.at[:nc.shape[0], write_pos].set(nc[:, 0].astype(buf.dtype))
-
-    new_buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
+    d = _to_out_depth(depth, out_hw)
+    new_buffers = jax.tree_util.tree_map(
+        lambda buf, nc: _write_row(buf, nc, write_pos),
+        buffers, list(new_caches))
     return d, new_buffers
 
 
@@ -220,11 +226,9 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
             cached_hidden_state_list=cache_list, cache_kind=cache_kind)
         stage_outs.append(stage_out)
         wp = write_pos[j]
-
-        def write(buf, nc, wp=wp):
-            return buf.at[:nc.shape[0], wp].set(nc[:, 0].astype(buf.dtype))
-
-        buffers = jax.tree_util.tree_map(write, buffers, list(new_caches))
+        buffers = jax.tree_util.tree_map(
+            lambda buf, nc, wp=wp: _write_row(buf, nc, wp),
+            buffers, list(new_caches))
 
     batched = tuple(jnp.concatenate([s[i] for s in stage_outs])
                     for i in range(3))

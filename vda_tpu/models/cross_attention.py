@@ -35,8 +35,13 @@ def init_cross_attention(key, query_dim: int,
                          cross_attention_dim: Optional[int] = None,
                          heads: int = 8, dim_head: int = 64,
                          bias: bool = False,
-                         added_kv_proj_dim: Optional[int] = None):
-    """Params for reference CrossAttention.__init__ (attention.py:45-91)."""
+                         added_kv_proj_dim: Optional[int] = None,
+                         norm_num_groups: Optional[int] = None):
+    """Params for reference CrossAttention.__init__ (attention.py:45-91).
+
+    norm_num_groups adds the optional pre-attention GroupNorm params
+    (reference attention.py:130-131) consumed by
+    ``cross_attention(group_norm_groups=...)``."""
     inner = heads * dim_head
     cross = cross_attention_dim or query_dim
     ks = jax.random.split(key, 6)
@@ -49,6 +54,9 @@ def init_cross_attention(key, query_dim: int,
     if added_kv_proj_dim is not None:
         p["add_k_proj"] = init_linear(ks[4], added_kv_proj_dim, cross)
         p["add_v_proj"] = init_linear(ks[5], added_kv_proj_dim, cross)
+    if norm_num_groups is not None:
+        p["group_norm"] = {"scale": jnp.ones((inner,), jnp.float32),
+                           "bias": jnp.zeros((inner,), jnp.float32)}
     return p
 
 

@@ -191,13 +191,12 @@ def _temporal_attention(p, h, cfg: ModelConfig,
         o = tiny_seq_attention(q, k, v, heads=heads, seq=t_full,
                                scale=dh ** -0.5)
     else:
-        qh = q.reshape(bd, -1, heads, dh)
-        kh = k.reshape(bd, t_full, heads, dh)
-        vh = v.reshape(bd, t_full, heads, dh)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) * (dh ** -0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, -1, c)
+        from vda_tpu.ops.attention import _xla_attention
+
+        o = _xla_attention(q.reshape(bd, -1, heads, dh),
+                           k.reshape(bd, t_full, heads, dh),
+                           v.reshape(bd, t_full, heads, dh),
+                           dh ** -0.5).reshape(bd, -1, c)
     out = linear(p["to_out"], o)
     if want_kv:
         # pre-PE projections of the new frames, for the streaming KV cache
@@ -248,13 +247,12 @@ def _temporal_attention_kv(p, h, cfg: ModelConfig, cache):
 
     heads = cfg.num_attention_heads
     dh = c // heads
-    qh = q.reshape(bd, t_new, heads, dh)
-    kh = k.reshape(bd, t_full, heads, dh)
-    vh = v.reshape(bd, t_full, heads, dh)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                        preferred_element_type=jnp.float32) * (dh ** -0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(bd, t_new, c)
+    from vda_tpu.ops.attention import _xla_attention
+
+    o = _xla_attention(q.reshape(bd, t_new, heads, dh),
+                       k.reshape(bd, t_full, heads, dh),
+                       v.reshape(bd, t_full, heads, dh),
+                       dh ** -0.5).reshape(bd, t_new, c)
     return linear(p["to_out"], o), (k_new, v_new)
 
 

@@ -226,7 +226,15 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
     if np_len % block_q:
         block_q = 128 if np_len % 128 == 0 else 16
 
-    g_heads = _pick_head_group(heads, d)
+    # same ~1.5 MB K/V-block budget as flash_attention_packed: at the
+    # production vitl shape (np_len 1376/1408) this still yields the tuned
+    # 512-lane (8-head) groups, but at long sequences (np_len ~4480 at
+    # input_size ~900) it shrinks the group so double-buffered K+V blocks
+    # stay inside the 16 MB VMEM stack instead of failing the Mosaic compile
+    budget = 1_500_000
+    max_w = min(512, max(128, budget // max(np_len * qkv.dtype.itemsize, 1)
+                         // 128 * 128))
+    g_heads = _pick_head_group(heads, d, max_w)
     gw = g_heads * d
     n_groups = hd // gw
 

@@ -130,10 +130,14 @@ def _pick_block(out_h: int):
     return None
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def resize_bilinear_fused(x, out_hw):
     """(B, H, W, C) bf16 -> (B, H_out, W_out, C) bf16, align_corners=True.
 
-    Caller must check ``supported`` first.
+    Caller must check ``supported`` first.  Differentiable: the backward
+    pass runs the XLA separable-matmul reference (pallas_call itself has no
+    VJP rule — same pattern as ops/pallas_norm.fused_layer_norm), so the
+    opt-in kernel is safe even if it ever engages under a training trace.
     """
     b, h, w, c = x.shape
     oh, ow = out_hw
@@ -168,3 +172,25 @@ def resize_bilinear_fused(x, out_hw):
     )(jnp.asarray(starts), x, mw,
       jnp.asarray(loc0.reshape(-1, br)), jnp.asarray(loc1.reshape(-1, br)),
       jnp.asarray(w1.reshape(-1, br)))
+
+
+def _rbf_fwd(x, out_hw):
+    return resize_bilinear_fused(x, out_hw), x
+
+
+def _rbf_bwd(out_hw, x, g):
+    from vda_tpu.ops.resize import _apply_separable, _linear_matrix
+
+    h, w = x.shape[-3], x.shape[-2]
+
+    def ref(x):
+        return _apply_separable(
+            x,
+            _linear_matrix(h, out_hw[0], True, None),
+            _linear_matrix(w, out_hw[1], True, None))
+
+    _, vjp = jax.vjp(ref, x)
+    return vjp(g)
+
+
+resize_bilinear_fused.defvjp(_rbf_fwd, _rbf_bwd)

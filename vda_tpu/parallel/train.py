@@ -41,8 +41,10 @@ def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
 
     accum_steps > 1 wraps the whole chain in optax.MultiSteps: gradients
     of k consecutive train_step calls are averaged and applied as one
-    AdamW update — the memory-free way to reach a large effective batch
-    on a small chip count (effective batch = B x k).
+    AdamW update — reaching a large effective batch (B x k) without the
+    ACTIVATION memory of a bigger batch.  Note MultiSteps does add a
+    params-sized fp32 gradient accumulator to opt_state (and so to
+    checkpoints); the saving is in activations, not optimizer state.
     """
     if total_steps > 0:
         warmup = max(warmup_steps, 1)
@@ -93,11 +95,9 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
 
     from vda_tpu.utils.transform import IMAGENET_MEAN, IMAGENET_STD
 
-    def loss_fn(params, batch, step):
+    def loss_fn(params, batch, rng):
         mb = micro_batch_size or (batch["video"].shape[0]
                                   * batch["video"].shape[1])
-        rng = (jax.random.fold_in(jax.random.PRNGKey(0), step)
-               if drop_path_rate > 0.0 else None)
         video = ((batch["video"] - jnp.asarray(IMAGENET_MEAN, jnp.float32))
                  / jnp.asarray(IMAGENET_STD, jnp.float32))
         pred = forward(params, video, cfg, attn_impl="xla",
@@ -109,14 +109,19 @@ def make_train_step(cfg: ModelConfig, optimizer=None,
         return losses["total_loss"], losses
 
     def train_step(state: TrainState, batch):
+        # ONE per-step base key; augmentation and drop-path take disjoint
+        # split branches so their randomness streams never correlate (with
+        # a shared fold_in(key, step) they would be bit-identical)
+        base = jax.random.fold_in(jax.random.PRNGKey(augment_seed),
+                                  state.step)
+        akey, dkey = jax.random.split(base)
         if augment_hw is not None:
             from vda_tpu.utils.augment import augment_batch
 
-            akey = jax.random.fold_in(jax.random.PRNGKey(augment_seed),
-                                      state.step)
             batch = augment_batch(akey, batch, out_hw=tuple(augment_hw))
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, state.step)
+            state.params, batch,
+            dkey if drop_path_rate > 0.0 else None)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

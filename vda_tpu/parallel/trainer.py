@@ -97,8 +97,10 @@ def train(
             import dataclasses as _dc
             cfg = cfg.replace(vit=_dc.replace(cfg.vit, seq_shard=True))
     params = jax.device_put(params, param_shardings(params, mesh))
+    # the LR schedule counts OPTIMIZER UPDATES (accumulation groups), so
+    # both the horizon and the warmup convert from micro-steps by // accum
     optimizer = make_optimizer(learning_rate,
-                               warmup_steps=warmup_steps,
+                               warmup_steps=warmup_steps // accum,
                                total_steps=(max(num_steps // accum, 1)
                                             if schedule else 0),
                                clip_norm=clip_norm, accum_steps=accum)
@@ -111,14 +113,25 @@ def train(
                                       augment_hw=augment_hw,
                                       augment_seed=augment_seed))
 
+    import itertools
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if start_step:
+        # a resumed run must see the SAME data stream as an unbroken one:
+        # skip the batches the crashed run already consumed (one-time host
+        # decode cost; samplers are deterministic per seed)
+        data_iter = itertools.islice(data_iter, start_step, None)
+    take = max(num_steps - start_step, 0)
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     if prefetch > 0:
         from vda_tpu.utils.data import sized_prefetch
         data_iter = sized_prefetch(data_iter, batch_sharding,
-                                   buffer_size=prefetch,
-                                   limit=max(num_steps - start_step, 0))
+                                   buffer_size=prefetch, limit=take)
+    else:
+        # bound the pull count so a finite dataset never decodes a batch
+        # that would only be discarded by the loop bound
+        data_iter = itertools.islice(data_iter, take)
     t0 = time.time()
     with jax.set_mesh(mesh):
         for step, batch in enumerate(data_iter, start=start_step):

@@ -16,9 +16,11 @@ TPU-first design notes
   * The SAME box/flip is applied to every frame of a clip and to
     video/depth/mask alike (temporal + cross-modal consistency); photometric
     jitter touches only the video.
-  * The mask is resampled with the same lerp and thresholded at ~1.0, so an
-    output pixel is valid only if ALL contributing input pixels were valid —
-    interpolation never manufactures ground truth at invalid-region borders.
+  * Depth ground truth and its mask resample by the crop box's NEAREST
+    (dominant) tap, not bilinearly — blending across a valid-valid depth
+    edge would supervise with depths that exist nowhere in the scene (the
+    host loader uses cv2.INTER_NEAREST for the same reason).  The selected
+    pixel's own validity is then the exact mask for the target.
 """
 
 from __future__ import annotations
@@ -38,6 +40,16 @@ def _lerp_matrix(in_size: int, out_size: int, lo, hi):
     src = jnp.clip(lo + i * step, 0.0, in_size - 1)          # (out,)
     j = jnp.arange(in_size, dtype=jnp.float32)               # (in,)
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - j[None, :]))
+
+
+def _nearest_matrix(w):
+    """0/1 selection matrix taking each output row's DOMINANT tap of the
+    lerp matrix — in-graph nearest-neighbor resampling with the same traced
+    box.  Depth ground truth must never be blended bilinearly: at a
+    valid-valid depth edge interpolation manufactures depths that exist
+    nowhere in the scene (the host loader uses cv2.INTER_NEAREST for the
+    same reason, apps/train.py load_clip)."""
+    return jax.nn.one_hot(jnp.argmax(w, axis=1), w.shape[1], dtype=w.dtype)
 
 
 def _resample_clip(clip, wy, wx, precision=None):
@@ -75,13 +87,15 @@ def random_resized_crop(key, video, depth, mask, out_hw: Tuple[int, int],
     wy = _lerp_matrix(h, out_hw[0], y0, y1)
     wx = _lerp_matrix(w, out_hw[1], x0, x1)
     video_o = _resample_clip(video, wy, wx)
+    # depth AND its validity mask use the SAME nearest (dominant-tap)
+    # selection: depth must never be blended across depth edges, and the
+    # selected pixel's own validity is then the exact mask for the target.
+    # HIGHEST: ground truth resamples in true fp32 (TPU default precision
+    # rounds fp32 matmul operands to bf16).
+    ny, nx = _nearest_matrix(wy), _nearest_matrix(wx)
     dm = jnp.stack([depth, mask.astype(jnp.float32)], axis=-1)  # (T,H,W,2)
-    # HIGHEST: ground truth must resample in true fp32 — at TPU default
-    # precision a fully-valid pixel lands at 1.0 +- ~4e-3 and the strict
-    # threshold would randomly invalidate good supervision
-    dm_o = _resample_clip(dm, wy, wx, precision=jax.lax.Precision.HIGHEST)
-    mask_o = dm_o[..., 1] > 0.999   # valid only if every contributor valid
-    return video_o, dm_o[..., 0], mask_o
+    dm_o = _resample_clip(dm, ny, nx, precision=jax.lax.Precision.HIGHEST)
+    return video_o, dm_o[..., 0], dm_o[..., 1] > 0.5
 
 
 def random_hflip(key, video, depth, mask):
@@ -106,7 +120,10 @@ def color_jitter(key, video, brightness=0.2, contrast=0.2, saturation=0.2):
     s = jax.random.uniform(ks, (), jnp.float32,
                            1.0 - saturation, 1.0 + saturation)
     v = video * b
-    mean = jnp.mean(v, axis=(-3, -2, -1), keepdims=True)
+    # contrast anchors on the CLIP mean (all of T,H,W,C): a per-frame mean
+    # would re-center each frame differently and inject photometric flicker
+    # the per-clip factors were chosen to avoid
+    mean = jnp.mean(v, axis=(-4, -3, -2, -1), keepdims=True)
     v = mean + (v - mean) * c
     gray = jnp.mean(v, axis=-1, keepdims=True)
     v = gray + (v - gray) * s

@@ -57,6 +57,19 @@ def restore_train_state(path: str, like_state):
     restore_args = ocp.checkpoint_utils.construct_restore_args(template)
     restored = _checkpointer().restore(path, item=template,
                                        restore_args=restore_args)
+
+    # Array leaves inherit the template's (mesh-)shardings, but SCALAR
+    # leaves (optimizer step counters like adam/MultiSteps `count`) were
+    # created eagerly on the default device and restore COMMITTED to it —
+    # jit then rejects them against the trainer's mesh context.  Hand them
+    # back as host numpy (uncommitted) so jit replicates them freely.
+    import jax
+    import numpy as np
+
+    def uncommit_scalars(leaf):
+        return np.asarray(leaf) if getattr(leaf, "ndim", 1) == 0 else leaf
+
+    restored = jax.tree_util.tree_map(uncommit_scalars, restored)
     return TrainState(restored["params"], restored["opt_state"],
                       restored["step"])
 
