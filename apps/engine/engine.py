@@ -75,7 +75,7 @@ def detect_encoder(job_data: Dict, checkpoint_path: str) -> str:
     """reference engine.py:224-236."""
     if "encoder" in job_data:
         return job_data["encoder"]
-    for enc in ("vits", "vitb", "vitl"):
+    for enc in ("vits", "vitb", "vitl", "vitg"):
         if enc in os.path.basename(checkpoint_path or ""):
             return enc
     return "vits"

@@ -20,22 +20,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def npz_data_iter(data_dir: str, loop: bool = True):
+def npz_data_iter(data_dir: str, loop: bool = True, patch: int = 0):
+    """patch > 0 validates shard spatial dims against the ViT patch size up
+    front (the friendly error; otherwise the jitted step fails obscurely)."""
     shards = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
     if not shards:
         raise FileNotFoundError(f"no .npz shards under {data_dir}")
+    checked = set()
     while True:
         for path in shards:
             with np.load(path) as z:
                 video = z["video"]
+                if path not in checked:
+                    checked.add(path)
+                    h, w = video.shape[2], video.shape[3]
+                    if patch and (h % patch or w % patch):
+                        raise ValueError(
+                            f"{path}: shard frames are {h}x{w}, not a "
+                            f"multiple of the ViT patch size ({patch})")
+                    if video.dtype != np.uint8 and (
+                            float(video.min()) < -0.05
+                            or float(video.max()) > 1.5):
+                        raise ValueError(
+                            f"{path}: float video outside [0, 1] — shards "
+                            "must hold RAW RGB (ImageNet normalization "
+                            "happens inside the train step; pre-normalized "
+                            "data would be normalized twice)")
                 if video.dtype == np.uint8:
                     video = video.astype(np.float32) / 255.0
-                elif float(video.min()) < -0.05 or float(video.max()) > 1.5:
-                    raise ValueError(
-                        f"{path}: float video outside [0, 1] — shards must "
-                        "hold RAW RGB (ImageNet normalization happens inside "
-                        "the train step; pre-normalized data would be "
-                        "normalized twice)")
                 yield {
                     "video": video.astype(np.float32),
                     "depth": z["depth"].astype(np.float32),
@@ -183,12 +195,22 @@ def main(argv=None):
 
     cfg = get_config(args.encoder)
     patch = cfg.vit.patch_size
-    eff_size = args.augment_size or args.size
-    if eff_size % patch:
+    # --size only reaches the model in manifest/synthetic modes (npz shards
+    # carry their own dims, validated in npz_data_iter); with augmentation
+    # on, --augment-size is what reaches the model in every mode
+    eff_size = args.augment_size or (
+        None if args.data_dir and not args.manifest else args.size)
+    if eff_size and eff_size % patch:
         parser.error(
             f"the size reaching the model ({eff_size}, from "
             f"{'--augment-size' if args.augment_size else '--size'}) must "
             f"be a multiple of the ViT patch size ({patch})")
+    if args.augment_size and args.augment_size > args.size and args.manifest:
+        # the crop would UPSAMPLE low-res decodes while looking like
+        # augment-size training; decode at least as large as the crop
+        parser.error(
+            f"--augment-size {args.augment_size} > --size {args.size}: "
+            "decode at least as large as the crop (raise --size)")
     if args.checkpoint is None:
         params = init_video_depth_anything(jax.random.PRNGKey(0), cfg)
     elif args.checkpoint.endswith(".npz"):
@@ -204,7 +226,8 @@ def main(argv=None):
     elif args.synthetic or args.data_dir is None:
         data = synthetic_iter(args.batch, args.frames, args.size)
     else:
-        data = npz_data_iter(args.data_dir)
+        data = npz_data_iter(args.data_dir, patch=0 if args.augment_size
+                             else patch)
 
     state = train(cfg, params, data, num_steps=args.steps,
                   ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,

@@ -20,7 +20,7 @@ run() {
   # 25 min cap: vitl compiles take 1-4 min each through the remote compile
   # server; a hang past that means the tunnel is wedged — move on.
   local line
-  line=$(timeout 1500 env "$@" python bench.py 2>/tmp/ab_r3_err.log | tail -1)
+  line=$(timeout 1500 env "$@" python bench.py 2>/tmp/ab_r3_err.log | grep "^{" | tail -1)
   if [ -n "$line" ]; then
     echo "{\"tag\": \"$tag\", ${line#\{}" >> "$OUT"
     echo "$line" >&2

@@ -148,7 +148,11 @@ def main():
         "bq352", "bq176", "g8", "g2",
     ]
     keys = jax.random.split(jax.random.PRNGKey(0), 12)
-    xs = [jax.random.normal(k, (B, NP, 3 * H * D), jnp.bfloat16) for k in keys]
+    # UNPADDED inputs: attn() pads to np_len with valid_len=N, so the kernel
+    # builds and applies the pad-key mask exactly like the production path
+    # (generating at NP made valid_len==nb, the mask never built, and the
+    # 'nomask' ablation identical to 'full')
+    xs = [jax.random.normal(k, (B, N, 3 * H * D), jnp.bfloat16) for k in keys]
 
     specs = {
         "full": dict(),

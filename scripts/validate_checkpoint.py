@@ -50,6 +50,12 @@ def ensure_checkpoint(encoder: str, metric: bool, checkpoint: str | None,
         return path
     if not download or checkpoint:
         raise FileNotFoundError(path)
+    if encoder not in ("vits", "vitb", "vitl"):
+        # get_weights.sh mirrors the reference download set (S/B/L only);
+        # don't trigger gigabytes of downloads that cannot produce the file
+        raise FileNotFoundError(
+            f"{path}: no published checkpoint for encoder={encoder} "
+            "(get_weights.sh provides vits/vitb/vitl) — pass --checkpoint")
     print(f"[validate] {path} missing -> scripts/get_weights.sh",
           flush=True)
     subprocess.run(["sh", os.path.join(REPO, "scripts", "get_weights.sh")],
@@ -66,7 +72,7 @@ def load_frames(video: str | None, n_frames: int, size: int):
     if video:
         from vda_tpu.utils.io import read_video_frames
 
-        frames, fps = read_video_frames(video, max_len=n_frames)
+        frames, fps = read_video_frames(video, process_length=n_frames)
         return frames, fps
     rng = np.random.default_rng(0)
     base = rng.random((size + n_frames, size + n_frames, 3))
