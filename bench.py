@@ -149,7 +149,51 @@ def main():
         except Exception as e:  # noqa: BLE001 — streaming must never sink the headline
             result["stream_error"] = f"{type(e).__name__}: {e}"
 
+    # Pending on-chip A/B (round 3, tunnel outage): VDA_PAD_GRANULE=16.
+    # Runs LAST, in bounded subprocesses (tiny-shape Mosaic probe first —
+    # a pathological compile can wedge the shared tunnel, so it must never
+    # precede the headline measurements) and never sinks the main line.
+    if (os.environ.get("VDA_BENCH_GRANULE_AB", "1") == "1"
+            and os.environ.get("VDA_PAD_GRANULE", "128") == "128"):
+        try:
+            result["granule16"] = _granule16_ab(encoder)
+        except Exception as e:  # noqa: BLE001
+            result["granule16"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(result))
+
+
+def _granule16_ab(encoder: str):
+    """Probe + measure the 16-granule encoder pad in subprocesses.
+
+    Expected ~2.3% fewer matmul rows encoder-wide (~3.5 ms/window at vitl).
+    Reported as an extra result field; the 128 default only flips after a
+    real-chip win is recorded here."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, os.path.join(here, "scripts", "probe_granule16.py")],
+        capture_output=True, text=True, timeout=420, env=env)
+    if r.returncode != 0:
+        return {"error": "probe failed",
+                "detail": (r.stdout + r.stderr)[-300:]}
+
+    env.update({"VDA_PAD_GRANULE": "16", "VDA_BENCH_GRANULE_AB": "0",
+                "VDA_BENCH_STREAM": "0", "VDA_BENCH_WB": "0",
+                "VDA_BENCH_ENCODER": encoder,
+                "VDA_BENCH_PROBE_TIMEOUT": "60"})
+    r = subprocess.run([sys.executable, os.path.join(here, "bench.py")],
+                       capture_output=True, text=True, timeout=1500, env=env)
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            sub = json.loads(line)
+            return {"ms_per_frame": sub.get("value"),
+                    "p50_window_ms": sub.get("p50_window_ms"),
+                    "pallas_check": sub.get("pallas_check")}
+    return {"error": "no JSON from granule16 bench",
+            "detail": (r.stdout + r.stderr)[-300:]}
 
 
 def _pallas_equivalence_check(params, x, cfg, step_pallas):
