@@ -160,7 +160,55 @@ def main():
         except Exception as e:  # noqa: BLE001
             result["granule16"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # Pending on-chip A/B #2: the fused ring-buffer streaming kernel
+    # (VDA_STREAM_DIRECT=1, ops/pallas_stream — removes the ~3 ms/step
+    # context assembly).  Kernel-structure probe first: the FIRST version
+    # of this kernel DID hang the remote Mosaic compiler.
+    if (os.environ.get("VDA_BENCH_STREAM_DIRECT_AB", "1") == "1"
+            and os.environ.get("VDA_STREAM_DIRECT", "0") == "0"
+            and os.environ.get("VDA_BENCH_STREAM", "1") == "1"):
+        try:
+            result["stream_direct"] = _stream_direct_ab(encoder)
+        except Exception as e:  # noqa: BLE001
+            result["stream_direct"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(result))
+
+
+def _stream_direct_ab(encoder: str):
+    """Probe + measure VDA_STREAM_DIRECT=1 streaming in subprocesses.
+
+    The window headline re-compiles from the persistent cache in the child,
+    so the added cost is the probe + the direct-step compile itself."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, os.path.join(here, "scripts",
+                                      "probe_stream_kernel.py"),
+         "trivial", "full", "full1024", "big"],
+        capture_output=True, text=True, timeout=1500, env=env)
+    if r.returncode != 0 or "HANG" in (r.stdout + r.stderr):
+        return {"error": "kernel probe failed/hung",
+                "detail": (r.stdout + r.stderr)[-300:]}
+
+    env.update({"VDA_STREAM_DIRECT": "1", "VDA_BENCH_STREAM_DIRECT_AB": "0",
+                "VDA_BENCH_GRANULE_AB": "0", "VDA_BENCH_WB": "0",
+                "VDA_BENCH_CHECK": "0", "VDA_BENCH_ENCODER": encoder,
+                "VDA_BENCH_REPS": "3", "VDA_BENCH_CHAIN": "1",
+                "VDA_BENCH_PROBE_TIMEOUT": "60"})
+    r = subprocess.run([sys.executable, os.path.join(here, "bench.py")],
+                       capture_output=True, text=True, timeout=1500, env=env)
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            sub = json.loads(line)
+            return {k: sub.get(k) for k in
+                    ("stream_ms_per_frame", "stream_fps",
+                     "stream_direct_check", "stream_error")
+                    if sub.get(k) is not None}
+    return {"error": "no JSON from stream-direct bench",
+            "detail": (r.stdout + r.stderr)[-300:]}
 
 
 def _granule16_ab(encoder: str):
