@@ -409,6 +409,15 @@ class StreamingDepth:
         The tradeoff is latency: the first frame's depth arrives only after
         all k are captured.
 
+        MEASURED (r2/r3, one v5e): ON-DEVICE per-frame cost is
+        ~NEUTRAL-to-negative vs sequential submits (21.8 vs 20.05 ms/frame
+        e2e; 21.8 vs 22.0 in-graph) — the batched encoder/tail win is eaten
+        by the serialized head stage.  Group mode pays only when per-call
+        DISPATCH dominates (it collapses k dispatch round-trips into one):
+        through the dev tunnel's ~10 ms/call it wins clearly; on
+        directly-attached hardware prefer plain ``submit`` until a profile
+        says otherwise.
+
         The stream must be initialized first (call ``submit`` once for the
         anchor frame, reference video_depth_stream.py:104-121).
         """
