@@ -9,8 +9,6 @@ pathological construct without risking the tunnel.
 stages: trivial dot2 mask pe new full full1024 big
 """
 
-import functools
-import os
 import signal
 import sys
 import time
@@ -21,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 BHW, ROWS, C, HEADS, G = 32, 43, 256, 8, 16
 

@@ -10,7 +10,7 @@ import time
 import numpy as np
 import pytest
 
-from vda_tpu.config import INFER_LEN, KEYFRAMES, OVERLAP, STREAM_GAP
+from vda_tpu.config import INFER_LEN, STREAM_GAP
 
 
 def test_windowed_aspect_guard_matches_reference():

@@ -26,7 +26,6 @@ from vda_tpu.ops.attention import dot_product_attention
 from vda_tpu.ops.layers import (
     gelu,
     init_linear,
-    layer_norm,
     linear,
 )
 

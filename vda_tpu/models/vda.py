@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import List, Optional
 
 import jax
-import jax.numpy as jnp
 
 from vda_tpu.config import ModelConfig
 from vda_tpu.models.dinov2 import encode, init_encoder

@@ -29,7 +29,6 @@ foundation for weight-only int8 (halved weight HBM traffic).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

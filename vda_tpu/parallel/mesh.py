@@ -54,7 +54,6 @@ def to_tp_layout(params):
     with exactly one all-reduce after the out-projection.  The model applies
     3D qkv weights natively (models/dinov2._attention).  Inverse:
     ``from_tp_layout`` (use before exporting checkpoints)."""
-    import jax.numpy as jnp
 
     def conv(params):
         for bp in params["pretrained"]["blocks"]:

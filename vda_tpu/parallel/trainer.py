@@ -20,7 +20,6 @@ from vda_tpu.parallel.mesh import (
     to_tp_layout,
 )
 from vda_tpu.parallel.train import (
-    TrainState,
     init_train_state,
     make_optimizer,
     make_train_step,
