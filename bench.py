@@ -149,22 +149,24 @@ def main():
         except Exception as e:  # noqa: BLE001 — streaming must never sink the headline
             result["stream_error"] = f"{type(e).__name__}: {e}"
 
-    # Pending on-chip A/B (round 3, tunnel outage): VDA_PAD_GRANULE=16.
-    # Runs LAST, in bounded subprocesses (tiny-shape Mosaic probe first —
-    # a pathological compile can wedge the shared tunnel, so it must never
-    # precede the headline measurements) and never sinks the main line.
-    if (os.environ.get("VDA_BENCH_GRANULE_AB", "1") == "1"
+    # Round-3 A/Bs, MEASURED AND SETTLED on-chip (2026-08-18) — both lose,
+    # so neither runs by default anymore (each cost ~10-15 min of bench
+    # time re-proving a dead end):
+    #   * VDA_PAD_GRANULE=16: 447.6 vs 354.9 ms window (np_len=1376 forces
+    #     the attention kernel to 32-row q blocks; its only 16-aligned
+    #     divisors are 688/32/16, and ragged grids hang Mosaic)
+    #   * VDA_STREAM_DIRECT=1: 25.2 vs 21.05 ms/frame streaming (the fused
+    #     ring-buffer read is slower than the one-hot context assembly it
+    #     replaces, despite bit-exact output)
+    # Set VDA_BENCH_GRANULE_AB=1 / VDA_BENCH_STREAM_DIRECT_AB=1 to re-run.
+    if (os.environ.get("VDA_BENCH_GRANULE_AB", "0") == "1"
             and os.environ.get("VDA_PAD_GRANULE", "128") == "128"):
         try:
             result["granule16"] = _granule16_ab(encoder)
         except Exception as e:  # noqa: BLE001
             result["granule16"] = {"error": f"{type(e).__name__}: {e}"}
 
-    # Pending on-chip A/B #2: the fused ring-buffer streaming kernel
-    # (VDA_STREAM_DIRECT=1, ops/pallas_stream — removes the ~3 ms/step
-    # context assembly).  Kernel-structure probe first: the FIRST version
-    # of this kernel DID hang the remote Mosaic compiler.
-    if (os.environ.get("VDA_BENCH_STREAM_DIRECT_AB", "1") == "1"
+    if (os.environ.get("VDA_BENCH_STREAM_DIRECT_AB", "0") == "1"
             and os.environ.get("VDA_STREAM_DIRECT", "0") == "0"
             and os.environ.get("VDA_BENCH_STREAM", "1") == "1"):
         try:

@@ -384,10 +384,12 @@ class StreamingDepth:
         from vda_tpu.models.temporal import _on_tpu_or_interpret
 
         if os.environ.get("VDA_STREAM_DIRECT", "0") != "1":
-            # opt-in until the kernel's Mosaic compile is proven on real
-            # hardware (the first structure HUNG the remote compiler; see
-            # scripts/probe_stream_kernel.py) — a hang here would stall
-            # production streaming, so the assembly path stays the default
+            # MEASURED (r3, on-chip): the direct kernel compiles, matches the
+            # assembly path bit-exactly (max_rel 0.0), and LOSES — 25.2 vs
+            # 21.05 ms/frame steady-state.  Reading all _BUF_ROWS rows of
+            # every buffer inside the kernel costs more than the one-hot
+            # contraction it replaces, so the assembly path stays the
+            # default and the kernel remains opt-in for future toolchains.
             return False
         return (self.cache_kind == "kv" and self.cfg.pe == "ape"
                 and not self.cfg.tp_layout

@@ -330,10 +330,13 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     if use_pallas_attn and n % granule:
         # 128 keeps the whole encoder at the attention kernel's natural lane
         # granule.  16 pads only to the sublane granule (1370 -> 1376 at the
-        # vitl window): the attention kernel runs the 16-aligned length
-        # directly (same MXU lane-tile count — 1376 and 1408 both round to
-        # 11 tiles of 128), while every row-independent matmul (qkv/proj/
-        # mlp, ~143 ms/window) drops 2.3% of its rows.
+        # vitl window), dropping 2.3% of every row-independent matmul's rows.
+        # MEASURED DEAD END (r3, on-chip): granule 16 runs the vitl window at
+        # 447.6 vs 354.9 ms — np_len=1376 has no 16-aligned block_q divisor
+        # near the tuned 176 (only 688/32/16), so the attention kernel
+        # degrades to 32-row q blocks (~+93 ms); ragged ceil-div grids hang
+        # the Mosaic compile.  128 stays the default; the knob remains for
+        # shapes whose 16-padded length tiles well.
         pad = (-n) % granule
         h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
         valid_len = n

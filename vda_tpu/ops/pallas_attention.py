@@ -219,7 +219,11 @@ def flash_attention_qkv(qkv, heads: int, scale: float,
                     best = bq
             # no usable divisor (e.g. np_len 4480 at input_size ~900):
             # degrade to a fixed small block instead of a full (N, N) fp32
-            # tile that blows the 16 MB VMEM stack at compile time
+            # tile that blows the 16 MB VMEM stack at compile time.
+            # MEASURED DEAD END (r3): a RAGGED ceil-div grid (bq=176 over
+            # np_len=1376, final block masked) is exact in interpreter mode
+            # but HANGS the remote Mosaic compile at real shapes — do not
+            # re-try non-dividing q blocks on this toolchain.
             block_q = best if best is not None else (
                 128 if np_len % 128 == 0 else 16)
     block_q = min(block_q, np_len)
