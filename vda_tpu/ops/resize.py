@@ -191,6 +191,12 @@ def resize_bicubic(x, out_hw, align_corners: bool = False, scale=None):
     """
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = out_hw
+    if (oh, ow) == (h, w) and scale is None:
+        # same-size, no explicit scale: src = (d+0.5)/1 - 0.5 = d (half-pixel)
+        # or d*(n-1)/(n-1) = d (align_corners) — the interpolation matrix is
+        # exactly identity, so skip the two dense matmuls (the streaming
+        # preprocess hits this every frame when input is already at net size)
+        return x
     sh, sw = (scale if scale is not None else (None, None))
     return _apply_separable(
         x,
