@@ -293,7 +293,7 @@ def prepare_tokens(params, x, cfg: EncoderConfig, masks=None):
 
 
 def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
-           attn_impl: str = "auto", scan_blocks: bool = True,
+           attn_impl: str = "auto", scan_blocks: bool | None = None,
            remat: bool = False, drop_path_rate: float = 0.0, rng=None,
            masks=None):
     """Reference get_intermediate_layers(x, tap_idx, return_class_token=True)
@@ -305,9 +305,14 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
 
     scan_blocks=True runs the homogeneous block stack as lax.scan segments
     between tap points — one block compilation per segment instead of one per
-    layer (vitl: 4 instead of 24), cutting compile time several-fold with no
-    measurable runtime cost.  remat=True rematerializes each block on the
-    backward pass (training memory <-> flops trade).
+    layer (vitl: 4 instead of 24), cutting compile time several-fold.
+    MEASURED (r3, on-chip): the scan costs real runtime — the vitl window
+    encoder runs 249.0 ms scanned vs 241.4 unrolled (~3%: per-iteration
+    parameter slicing/carry copies) — so the default (None) resolves to
+    UNROLLED on TPU (compiles are cached persistently) and scanned
+    elsewhere (CPU tests at full scale would pay minutes of XLA compile).
+    Override with VDA_SCAN_BLOCKS=0/1.  remat=True rematerializes each
+    block on the backward pass (training memory <-> flops trade).
 
     On the TPU pallas path the token sequence is lane-padded (1370 -> 1408)
     ONCE here and every block runs tile-aligned with key masking inside the
@@ -320,6 +325,14 @@ def encode(params, x, cfg: EncoderConfig, tap_idx: Sequence[int],
     The block stack then runs unrolled (per-block static rates), which is
     the training configuration anyway.
     """
+    if scan_blocks is None:
+        env = os.environ.get("VDA_SCAN_BLOCKS")
+        if env is not None:
+            scan_blocks = env == "1"
+        else:
+            from vda_tpu.ops.attention import _tpu_present
+
+            scan_blocks = not _tpu_present()
     taps = set(tap_idx)
     h = prepare_tokens(params, x, cfg, masks=masks)
     n = h.shape[1]
