@@ -325,7 +325,7 @@ def _bench_window_batch(params, cfg, step, x, t, reps, chain, sync):
 
 
 def _bench_streaming(params, cfg, size: int, attn_impl: str,
-                     n_warm: int = 14, n_meas: int = 32):
+                     n_warm: int = 44, n_meas: int = 32):
     """Steady-state streaming ms/frame, ON-DEVICE step cost.
 
     The frame is uploaded once and the chain is synced by fetching a tiny
@@ -345,14 +345,12 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
 
     stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl)
     frame = jnp.asarray(np.full((size, size, 3), 128, np.uint8))
-    # warmup: compiles _first_step + _stream_step and crosses the eviction
-    # threshold (id > 11) so measured steps use steady-state bookkeeping.
-    # The direct-kernel path engages only once the anchor replication has
-    # fully drained (first distinct-row context: step 42) — warm past it so
-    # every measured step runs the direct kernel and its compile lands in
-    # warmup, not mid-measurement.
-    if os.environ.get("VDA_STREAM_DIRECT", "0") == "1":
-        n_warm = max(n_warm, 44)
+    # warmup: compiles _first_step + _stream_step + _stream_step_ring (the
+    # ring path engages once the recent-29 context ids are consecutive,
+    # ~step 30) and crosses the eviction threshold so every measured step
+    # uses steady-state bookkeeping with its compile landed in warmup, not
+    # mid-measurement.  The opt-in direct kernel engages at step 42 —
+    # n_warm=44 covers that too.
     for _ in range(n_warm):
         d = stream.submit(frame)
     np.asarray(d[:1, :1])

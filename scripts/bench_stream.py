@@ -104,9 +104,10 @@ def main():
             def f(params, frames, buffers, ctx):
                 acc = jnp.float32(0)
                 for i in range(k):
+                    wp = 1 + i % (_BUF_ROWS - 1)
                     d, buffers = inner(
                         params, frames[i], buffers, ctx,
-                        jnp.int32(i % _BUF_ROWS),
+                        jnp.int32(wp), jnp.int32(wp),
                         cfg, (518, 518), (518, 518), jnp.bfloat16, "auto",
                         "kv")
                     acc = acc + d[0, 0]
@@ -116,6 +117,44 @@ def main():
         ms = slope({"lo": make(2), "hi": make(6)},
                    (params, frames, buffers, ctx))
         print(f"full stream step in-graph: {ms:.2f} ms", flush=True)
+
+    if "rstep" in stages:
+        # in-graph cost of the steady-state RING step (_stream_step_ring:
+        # three-slice context assembly).  Same DCE/CSE harness as "step".
+        from vda_tpu.infer.streaming import (
+            _BUF_ROWS,
+            _pad_rows,
+            _stream_step_ring,
+        )
+        shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
+        buffers = []
+        for bhw, c in shapes:
+            bp = _pad_rows(bhw)
+            buffers += [(jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16),
+                         jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16))] * 2
+        frames = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (6, 518, 518, 3), np.uint8))
+        inner = _stream_step_ring.__wrapped__
+
+        def make(k):
+            @jax.jit
+            def f(params, frames, buffers):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    wp = 1 + i % (_BUF_ROWS - 1)
+                    d, buffers = inner(
+                        params, frames[i], buffers, jnp.int32(2),
+                        jnp.int32(3 + i), jnp.int32(wp), jnp.int32(wp),
+                        cfg, (518, 518), (518, 518), jnp.bfloat16, "auto",
+                        "kv")
+                    acc = acc + d[0, 0]
+                return acc
+            return f
+
+        ms = slope({"lo": make(2), "hi": make(6)},
+                   (params, frames, buffers))
+        print(f"ring stream step in-graph: {ms:.2f} ms", flush=True)
 
     if "dstep" in stages:
         # in-graph cost of the steady-state DIRECT step (_stream_step_direct:
@@ -147,8 +186,8 @@ def main():
                 for i in range(k):
                     d, buffers = inner(
                         params, frames[i], buffers, pm, valid,
-                        jnp.int32(32 + i), cfg, (518, 518), (518, 518),
-                        jnp.bfloat16, "auto")
+                        jnp.int32(32 + i), jnp.int32(32 + i), cfg,
+                        (518, 518), (518, 518), jnp.bfloat16, "auto")
                     acc = acc + d[0, 0]
                 return acc
             return f
@@ -177,7 +216,7 @@ def main():
             np.random.default_rng(0).integers(
                 0, 255, (3, 4, 518, 518, 3), np.uint8))
         ctx = jnp.tile(jnp.arange(_CTX, dtype=jnp.int32)[None], (4, 1))
-        wp = jnp.arange(4, dtype=jnp.int32)
+        wp = jnp.arange(1, 5, dtype=jnp.int32)
         inner = _stream_step_group.__wrapped__
 
         def make(k):
@@ -186,8 +225,8 @@ def main():
                 acc = jnp.float32(0)
                 for i in range(k):
                     d, buffers = inner(
-                        params, frames[i], buffers, ctx, wp, cfg, (518, 518),
-                        (518, 518), jnp.bfloat16, "auto", "kv", 4)
+                        params, frames[i], buffers, ctx, wp, wp, cfg,
+                        (518, 518), (518, 518), jnp.bfloat16, "auto", "kv", 4)
                     acc = acc + d.sum()
                 return acc
             return f
@@ -215,10 +254,10 @@ def main():
         print(f"batch-1 encoder: {ms:.2f} ms", flush=True)
 
     if "asm" in stages:
-        # one-hot context assembly over the kv buffers (streaming._stream_step
-        # lines 85-94): 16 arrays (4 module shapes x 2 attn blocks x k,v),
-        # each (BHW, 44, C) -> (BHW, 31, C)
-        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX
+        # one-hot context assembly over the kv buffers (the warmup path of
+        # streaming._stream_step): 16 arrays (4 module shapes x 2 attn blocks
+        # x k,v), each (BHW, _ONE_HOT, C) -> (BHW, 31, C)
+        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX, _ONE_HOT
         shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
         bufs = []
         for bhw, c in shapes:
@@ -230,17 +269,50 @@ def main():
             def f(bufs, idx):
                 acc = None
                 for _ in range(k):
-                    sel = jax.nn.one_hot(idx, _BUF_ROWS, dtype=jnp.bfloat16)
-                    outs = [jnp.einsum("rt,btc->brc", sel, b) for b in bufs]
+                    sel = jax.nn.one_hot(idx, _ONE_HOT, dtype=jnp.bfloat16)
+                    outs = [jnp.einsum("rt,btc->brc", sel, b[:, :_ONE_HOT])
+                            for b in bufs]
                     s = sum(o[:1, :1, :1].astype(jnp.float32).sum()
                             for o in outs)
-                    idx = (idx + (s * 1e-12).astype(jnp.int32)) % _BUF_ROWS
+                    idx = (idx + (s * 1e-12).astype(jnp.int32)) % _ONE_HOT
                     acc = s
                 return acc
             return f
 
         ms = slope({"lo": make(2), "hi": make(6)}, (bufs, idx))
         print(f"one-hot context assembly (16 kv buffers): {ms:.2f} ms",
+              flush=True)
+
+    if "rasm" in stages:
+        # three-slice ring context assembly (streaming._stream_step_ring)
+        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX
+
+        shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
+        bufs = []
+        for bhw, c in shapes:
+            bufs += [jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16)] * 4
+
+        def make(k):
+            @jax.jit
+            def f(bufs, start):
+                acc = None
+                for _ in range(k):
+                    outs = [jnp.concatenate([
+                        b[:, 0:1],
+                        jax.lax.dynamic_slice_in_dim(b, start, 1, axis=1),
+                        jax.lax.dynamic_slice_in_dim(b, start + 1, _CTX - 2,
+                                                     axis=1)], axis=1)
+                        for b in bufs]
+                    s = sum(o[:1, :1, :1].astype(jnp.float32).sum()
+                            for o in outs)
+                    start = 1 + (start + (s * 1e-12).astype(jnp.int32)) % 40
+                    acc = s
+                return acc
+            return f
+
+        ms = slope({"lo": make(2), "hi": make(6)},
+                   (bufs, jnp.int32(2)))
+        print(f"ring-slice context assembly (16 kv buffers): {ms:.2f} ms",
               flush=True)
 
     if "head" in stages:

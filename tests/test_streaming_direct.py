@@ -65,7 +65,7 @@ def test_direct_crosses_over_and_matches_assembly(tiny):
         import vda_tpu.infer.streaming as S
         order, free = list(sd.order), list(sd.free)
         ctx, _ = S._advance_bookkeeping(sd.id + 1, order, free)
-        engaged.append(sd._direct_ok(ctx))
+        engaged.append(sd._direct_ok([S._row(i) for i in ctx]))
         out.append(np.asarray(sd.submit(f)))
     assert not engaged[0] and engaged[-1], engaged
     out = np.stack(out)

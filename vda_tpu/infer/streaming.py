@@ -12,24 +12,34 @@ Rebuild of reference video_depth_anything/video_depth_stream.py:77-161:
 
 TPU-native design: each of the 8 cache slots is ONE device array of shape
 (BHW_pad, _BUF_ROWS, C) — a fixed-capacity ring buffer, BHW-major (row-padded
-to the direct kernel's tile).  Every step runs one jitted function with fully
-static shapes and the new cache row is written with ``.at[:, pos].set``;
-no retracing, no growing Python lists of device arrays.  Two step flavors:
+to the direct kernel's tile).  Entry ids map to rows DETERMINISTICALLY
+(``_row``: anchor id 0 -> row 0, id k -> ring row 1 + (k-1) % 44, with rows
+45..72 mirroring ring rows 1..28).  Every step runs one jitted function with
+fully static shapes and the new cache row is written with ``.at[:, pos].set``
+(twice — primary + mirror); no retracing, no growing Python lists of device
+arrays.  Three step flavors:
 
   * warmup (``_stream_step``): the reference's replication trick maps the
     anchor row into MANY context positions, so the 31-entry context is
-    materialized with a one-hot contraction over the buffer rows and fed to
-    the standard KV-cache attention,
-  * steady state (``_stream_step_direct``, once every context entry is a
-    distinct row): temporal attention reads the ring buffers IN PLACE via a
-    fused Pallas kernel (ops/pallas_stream) — the context selection becomes
-    a host-computed position-map + mask, and the ~1 GB/step
-    assemble-write-reread HBM traffic disappears.
+    materialized with a one-hot contraction over the anchor+ring rows and
+    fed to the standard KV-cache attention,
+  * steady state (``_stream_step_ring``, the default once the 29 recent
+    context entries are consecutive ids — every step past ~30): the mirror
+    region makes those 29 rows one contiguous window, so the context is
+    read with three static-size dynamic slices — 31 rows instead of 45,
+    and no select matmul.  MEASURED (r3, paired same-process A/B on one
+    v5e): 22.28 vs 24.94 ms/frame one-hot, a 2.65 ms/frame win.  Kill
+    switch VDA_STREAM_RING=0 restores the one-hot steady state,
+  * opt-in (``_stream_step_direct``, VDA_STREAM_DIRECT=1): temporal
+    attention reads the ring buffers IN PLACE via a fused Pallas kernel
+    (ops/pallas_stream) — MEASURED SLOWER than the assembly it replaces
+    (25.2 vs 21.05 ms/frame r3); kept for future toolchains.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -50,10 +60,32 @@ from vda_tpu.utils.transform import (
 )
 
 _CTX = INFER_LEN - 1  # 31 context entries
-# Rows in the device buffer.  The logical cache holds at most STREAM_MAX_CACHE
-# (=42) entries, but within a step the new row is written BEFORE the eviction
-# (reference appends at :153 and deletes at :159), so one spare row is needed.
-_BUF_ROWS = STREAM_MAX_CACHE + 1
+# Physical buffer layout (RING-DETERMINISTIC placement, r3): entry ids map to
+# rows as row(0) = 0 (the immortal anchor) and row(id) = 1 + (id-1) % _RING.
+# The logical cache holds at most STREAM_MAX_CACHE (=42) live entries plus
+# the new row written BEFORE the eviction (reference appends at :153 and
+# deletes at :159), so _RING=44 leaves a safety margin of 1: row(id) last
+# held id-44, evicted when order[1] passed id-41 (checked live by an assert
+# in _advance_bookkeeping).  Rows _ONE_HOT (45)..72 MIRROR ring rows 1..28
+# (every write lands twice, see _write_row) so the 29 most-recent context
+# entries — consecutive ids in steady state — are ONE contiguous row window
+# readable with a static-size dynamic slice instead of a one-hot contraction
+# over every row (~0.4 GB/step less HBM read + no (31, rows) select matmul).
+# One-hot consumers (warmup, group mode) read only buf[:, :_ONE_HOT].
+_RING = STREAM_MAX_CACHE + 2
+_MIRROR = INFER_LEN - 4  # ring rows 1.._MIRROR get a +_RING twin
+_ONE_HOT = _RING + 1
+_BUF_ROWS = _ONE_HOT + _MIRROR
+
+
+def _row(entry_id: int) -> int:
+    """Physical buffer row of a logical cache entry (0-based frame id)."""
+    return 0 if entry_id == 0 else 1 + (entry_id - 1) % _RING
+
+
+def _mirror_row(p: int) -> int:
+    """Second write position for ring row ``p`` (== p when no mirror)."""
+    return p + _RING if 1 <= p <= _MIRROR else p
 
 
 def _pad_rows(n: int) -> int:
@@ -75,10 +107,16 @@ def _to_out_depth(depth, out_hw):
     return d[0, ..., 0]
 
 
-def _write_row(buf, nc, write_pos):
+def _write_row(buf, nc, write_pos, mirror_pos):
     """Write a new (BHW, 1, C) cache row into the (BHW_pad, ROWS, C) buffer
-    at ``write_pos`` (shared by every step flavor)."""
-    return buf.at[:nc.shape[0], write_pos].set(nc[:, 0].astype(buf.dtype))
+    at ``write_pos`` AND ``mirror_pos`` (shared by every step flavor).
+
+    mirror_pos == write_pos outside the mirrored ring region — the second
+    write is then a harmless idempotent overwrite, which keeps the jitted
+    step free of a lax.cond."""
+    row = nc[:, 0].astype(buf.dtype)
+    buf = buf.at[:nc.shape[0], write_pos].set(row)
+    return buf.at[:nc.shape[0], mirror_pos].set(row)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
@@ -99,28 +137,31 @@ def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
                                              "attn_impl", "cache_kind"),
                    donate_argnums=(2,))  # buffers update in place (~600 MB)
-def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
+def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos, mirror_pos,
                  cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
                  cache_kind):
-    """One causal step.
+    """One causal step (one-hot context assembly — the warmup flavor).
 
     buffers: pytree of 8 cache slots, each (BHW, _BUF_ROWS, C) — one array
     per slot in "h" mode, a (k, v) tuple per slot in "kv" mode (the fast
     path: pre-PE K/V projections, models/temporal._temporal_attention_kv).
     BHW-major so the context assembly needs no transpose.
-    ctx_idx: int32 (31,) rows forming the KV context (oldest..newest).
-    write_pos: int32 scalar, row to overwrite with the new frame's cache.
+    ctx_idx: int32 (31,) rows forming the KV context (oldest..newest); may
+    repeat rows (the warmup replication trick), which only this flavor can
+    express.  Rows are always < _ONE_HOT (one-hot never selects mirrors).
+    write_pos/mirror_pos: int32 scalars, rows to overwrite with the new
+    frame's cache.
     """
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
     # context assembly as a one-hot contraction, NOT a gather: XLA lowers
     # jnp.take along a middle axis to a scalar gather loop on TPU (measured
-    # ~80 ms/step for the 8 buffers); the (31, BUF_ROWS) one-hot matmul reads
-    # each buffer once at full HBM bandwidth and rides the MXU (<1 ms).
-    sel = jax.nn.one_hot(ctx_idx, _BUF_ROWS, dtype=dtype)  # (31, rows)
+    # ~80 ms/step for the 8 buffers); the (31, _ONE_HOT) one-hot matmul reads
+    # the anchor+ring rows once at full HBM bandwidth and rides the MXU.
+    sel = jax.nn.one_hot(ctx_idx, _ONE_HOT, dtype=dtype)  # (31, rows)
 
     def ctx(buf):
-        return jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))
+        return jnp.einsum("rt,btc->brc", sel, buf[:, :_ONE_HOT].astype(dtype))
 
     cache_list = jax.tree_util.tree_map(ctx, buffers)
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
@@ -129,7 +170,49 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
     d = _to_out_depth(depth, out_hw)
     # new rows are unpadded (BHW, 1, C); buffers carry _pad_rows(BHW) rows
     new_buffers = jax.tree_util.tree_map(
-        lambda buf, nc: _write_row(buf, nc, write_pos),
+        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
+        buffers, list(new_caches))
+    return d, new_buffers
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
+                                             "attn_impl", "cache_kind"),
+                   donate_argnums=(2,))
+def _stream_step_ring(params, frame_u8, buffers, a1_row, run_start, write_pos,
+                      mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
+                      attn_impl, cache_kind):
+    """Steady-state step: the context is read with three static-size slices.
+
+    Engages once the 29 most-recent context entries are CONSECUTIVE ids
+    (every step after the warmup replication drains) — their ring rows are
+    then one contiguous window [run_start, run_start+29) thanks to the
+    mirror region, and the context becomes
+
+        [row 0 (anchor), row a1_row (order[1]), window]
+
+    reading exactly 31 rows per buffer instead of one-hot-contracting all
+    _ONE_HOT rows (~0.4 GB/step less HBM read at vitl 518², plus no
+    (31, rows) select matmul).  Identical math to ``_stream_step`` with the
+    same ctx — concatenation of the same rows in the same order.
+    """
+    x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
+    feats = forward_features(params, x, cfg, attn_impl)
+
+    def ctx(buf):
+        b = buf.astype(dtype)
+        return jnp.concatenate([
+            b[:, 0:1],
+            jax.lax.dynamic_slice_in_dim(b, a1_row, 1, axis=1),
+            jax.lax.dynamic_slice_in_dim(b, run_start, _CTX - 2, axis=1),
+        ], axis=1)
+
+    cache_list = jax.tree_util.tree_map(ctx, buffers)
+    depth, new_caches = forward_depth(params, feats, x.shape, cfg,
+                                      cached_hidden_state_list=cache_list,
+                                      cache_kind=cache_kind)
+    d = _to_out_depth(depth, out_hw)
+    new_buffers = jax.tree_util.tree_map(
+        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
         buffers, list(new_caches))
     return d, new_buffers
 
@@ -138,7 +221,8 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos,
                                              "dtype", "attn_impl"),
                    donate_argnums=(2,))
 def _stream_step_direct(params, frame_u8, buffers, pos_map, valid, write_pos,
-                        cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl):
+                        mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
+                        attn_impl):
     """Steady-state step: temporal attention reads the ring buffers in place.
 
     No context assembly: ``pos_map`` ((_BUF_ROWS,) int32) gives each buffer
@@ -157,7 +241,7 @@ def _stream_step_direct(params, frame_u8, buffers, pos_map, valid, write_pos,
                                       cache_kind="kv")
     d = _to_out_depth(depth, out_hw)
     new_buffers = jax.tree_util.tree_map(
-        lambda buf, nc: _write_row(buf, nc, write_pos),
+        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
         buffers, list(new_caches))
     return d, new_buffers
 
@@ -167,8 +251,8 @@ def _stream_step_direct(params, frame_u8, buffers, pos_map, valid, write_pos,
                                              "direct"),
                    donate_argnums=(2,))
 def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
-                       cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
-                       cache_kind, k: int, direct: bool = False):
+                       mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
+                       attn_impl, cache_kind, k: int, direct: bool = False):
     """k causal steps in ONE dispatch: batch what causality allows.
 
     Frame j+1's temporal attention reads frame j's cache row, so the steps
@@ -215,19 +299,20 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
             cache_list = [(kb, vb, pos_map[j], valid[j])
                           for kb, vb in buffers]
         else:
-            sel = jax.nn.one_hot(ctx_idx[j], _BUF_ROWS, dtype=dtype)
+            sel = jax.nn.one_hot(ctx_idx[j], _ONE_HOT, dtype=dtype)
 
             def ctx(buf, sel=sel):
-                return jnp.einsum("rt,btc->brc", sel, buf.astype(dtype))
+                return jnp.einsum("rt,btc->brc", sel,
+                                  buf[:, :_ONE_HOT].astype(dtype))
 
             cache_list = jax.tree_util.tree_map(ctx, buffers)
         stage_out, new_caches = dpt_head_temporal_stage(
             params["head"], feats_j, patch_hw, 1, cfg,
             cached_hidden_state_list=cache_list, cache_kind=cache_kind)
         stage_outs.append(stage_out)
-        wp = write_pos[j]
+        wp, mp = write_pos[j], mirror_pos[j]
         buffers = jax.tree_util.tree_map(
-            lambda buf, nc, wp=wp: _write_row(buf, nc, wp),
+            lambda buf, nc, wp=wp, mp=mp: _write_row(buf, nc, wp, mp),
             buffers, list(new_caches))
 
     batched = tuple(jnp.concatenate([s[i] for s in stage_outs])
@@ -256,30 +341,51 @@ def _pos_map(ctx: List[int]):
 
 
 def _advance_bookkeeping(step_id: int, order: List[int], free: List[int]):
-    """ONE step of the cache bookkeeping, mutating ``order``/``free``.
+    """ONE step of the cache bookkeeping, mutating ``order``.
 
-    Returns (ctx, write_pos) for the step numbered ``step_id`` (0-based frame
-    id; the first call after init is id 1).  This is the single source of
-    truth for the reference's frame_cache_list protocol
+    ``order`` holds LOGICAL frame ids (the reference's frame_cache_list
+    mirror); physical rows derive deterministically via ``_row``.  ``free``
+    is vestigial (kept for signature stability; always empty since the r3
+    ring-deterministic placement).
+
+    Returns (ctx_ids, new_id) for the step numbered ``step_id`` (0-based
+    frame id; the first call after init is id 1).  This is the single source
+    of truth for the reference's frame_cache_list protocol
     (video_depth_stream.py:134-160): context = entries [0:2] + the most
-    recent INFER_LEN-3, the new row is appended, and entry 1 is evicted once
-    the window has slid past STREAM_GAP.  Both ``submit``/``_slide`` and the
-    ``submit_group`` simulation call this — they cannot drift apart.
+    recent INFER_LEN-3, the new entry is appended, and entry 1 is evicted
+    once the window has slid past STREAM_GAP.  Both ``submit``/``_slide``
+    and the ``submit_group`` simulation call this — they cannot drift apart.
     """
     ctx = order[0:2] + order[-(INFER_LEN - 3):]
     assert len(ctx) == _CTX
-    wp = free.pop(0)
-    order.append(wp)
+    order.append(step_id)
     _evict(step_id, order, free)
-    return ctx, wp
+    # ring-placement safety: distinct live ids must occupy distinct rows —
+    # i.e. the row just (re)used belonged to an already-evicted entry.  With
+    # _RING = 44 and the protocol's 42-entry window this always holds; the
+    # O(43) host check turns any future protocol change that breaks it into
+    # a loud failure instead of silent cache corruption.
+    live = set(order)
+    assert len({_row(i) for i in live}) == len(live), \
+        "ring placement collision: a live cache entry was overwritten"
+    return ctx, step_id
 
 
 def _evict(step_id: int, order: List[int], free: List[int]):
-    """Eviction rule (reference video_depth_stream.py:155-160)."""
+    """Eviction rule (reference video_depth_stream.py:155-160).  ``free`` is
+    vestigial (rows derive from ids via ``_row`` since r3)."""
     if step_id + INFER_LEN > STREAM_GAP + 1:
-        evicted = order.pop(1)
-        if evicted not in order:
-            free.append(evicted)
+        order.pop(1)
+
+
+def _ring_ok(ctx: List[int]) -> bool:
+    """True when the context can be read with the three-slice ring layout:
+    entry 0 is the immortal anchor and the 29 recent entries are CONSECUTIVE
+    ids >= 1 (their ring rows are then one contiguous row window).  False
+    during warmup while replicated id-0 entries remain in the recent set."""
+    recent = ctx[2:]
+    return (ctx[0] == 0 and recent[0] >= 1
+            and all(b - a == 1 for a, b in zip(recent, recent[1:])))
 
 
 class StreamingDepth:
@@ -309,9 +415,10 @@ class StreamingDepth:
         self.out_hw: Optional[tuple] = None
         self.buffers: Optional[List[jnp.ndarray]] = None
         # host-side mirror of the reference's frame_cache_list bookkeeping:
-        # buffer row index of each live cache entry, in window order
+        # LOGICAL frame id of each live cache entry, in window order (the
+        # physical buffer row derives deterministically via _row)
         self.order: List[int] = []
-        self.free: List[int] = []
+        self.free: List[int] = []  # vestigial since the ring placement (r3)
 
     def __call__(self, frame: np.ndarray) -> np.ndarray:
         """frame: (H, W, 3) uint8 RGB -> depth (H, W) fp32 (synchronous)."""
@@ -348,7 +455,7 @@ class StreamingDepth:
             self.net_hw, self.out_hw = net_hw, out_hw
             self.id = step_id
             self.order = [0] * INFER_LEN
-            self.free = list(range(1, _BUF_ROWS))
+            self.free = []
             self._slide()
             return depth
 
@@ -356,20 +463,30 @@ class StreamingDepth:
         # bookkeeping on COPIES, committed only after the dispatch succeeds —
         # a failed trace/compile must not advance order/free past the buffers
         order, free = list(self.order), list(self.free)
-        ctx, write_pos = _advance_bookkeeping(step_id, order, free)
-        if self._direct_ok(ctx):
-            pos_map, valid = _pos_map(ctx)
+        ctx, new_id = _advance_bookkeeping(step_id, order, free)
+        write_pos = _row(new_id)
+        mirror_pos = _mirror_row(write_pos)
+        ctx_rows = [_row(i) for i in ctx]
+        if self._direct_ok(ctx_rows):
+            pos_map, valid = _pos_map(ctx_rows)
             depth, self.buffers = _stream_step_direct(
                 self.params, jnp.asarray(frame), self.buffers,
                 jnp.asarray(pos_map), jnp.asarray(valid),
-                jnp.int32(write_pos), self.cfg, self.net_hw, self.out_hw,
-                self.dtype, self.attn_impl)
+                jnp.int32(write_pos), jnp.int32(mirror_pos), self.cfg,
+                self.net_hw, self.out_hw, self.dtype, self.attn_impl)
+        elif _ring_ok(ctx) and os.environ.get("VDA_STREAM_RING", "1") == "1":
+            depth, self.buffers = _stream_step_ring(
+                self.params, jnp.asarray(frame), self.buffers,
+                jnp.int32(ctx_rows[1]), jnp.int32(ctx_rows[2]),
+                jnp.int32(write_pos), jnp.int32(mirror_pos), self.cfg,
+                self.net_hw, self.out_hw, self.dtype, self.attn_impl,
+                self.cache_kind)
         else:
             depth, self.buffers = _stream_step(
                 self.params, jnp.asarray(frame), self.buffers,
-                jnp.asarray(ctx, jnp.int32), jnp.int32(write_pos),
-                self.cfg, self.net_hw, self.out_hw, self.dtype,
-                self.attn_impl, self.cache_kind)
+                jnp.asarray(ctx_rows, jnp.int32), jnp.int32(write_pos),
+                jnp.int32(mirror_pos), self.cfg, self.net_hw, self.out_hw,
+                self.dtype, self.attn_impl, self.cache_kind)
         self.id, self.order, self.free = step_id, order, free
         return depth
 
@@ -433,12 +550,13 @@ class StreamingDepth:
         # the dispatch succeeds — a failed compile/trace must not leave the
         # stream with advanced order/free but unwritten buffers
         sim_id, order, free = self.id, list(self.order), list(self.free)
-        ctx_rows, write_rows = [], []
+        ctx_rows, write_rows, mirror_rows = [], [], []
         for _ in range(k):
             sim_id += 1
-            ctx, wp = _advance_bookkeeping(sim_id, order, free)
-            ctx_rows.append(ctx)
-            write_rows.append(wp)
+            ctx, new_id = _advance_bookkeeping(sim_id, order, free)
+            ctx_rows.append([_row(i) for i in ctx])
+            write_rows.append(_row(new_id))
+            mirror_rows.append(_mirror_row(write_rows[-1]))
         if self._direct_ok(*ctx_rows):
             maps = [_pos_map(c) for c in ctx_rows]
             sel = (jnp.asarray(np.stack([m for m, _ in maps])),
@@ -450,6 +568,7 @@ class StreamingDepth:
         depths, self.buffers = _stream_step_group(
             self.params, jnp.asarray(frames), self.buffers, sel,
             jnp.asarray(write_rows, jnp.int32),
+            jnp.asarray(mirror_rows, jnp.int32),
             self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
             self.cache_kind, k, direct)
         self.id, self.order, self.free = sim_id, order, free
