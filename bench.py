@@ -345,12 +345,13 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
 
     stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl)
     frame = jnp.asarray(np.full((size, size, 3), 128, np.uint8))
-    # warmup: compiles _first_step + _stream_step + _stream_step_ring (the
-    # ring path engages once the recent-29 context ids are consecutive,
-    # ~step 30) and crosses the eviction threshold so every measured step
-    # uses steady-state bookkeeping with its compile landed in warmup, not
-    # mid-measurement.  The opt-in direct kernel engages at step 42 —
-    # n_warm=44 covers that too.
+    # warmup: compiles _first_step + _stream_step and crosses the eviction
+    # threshold so every measured step uses steady-state bookkeeping with its
+    # compile landed in warmup, not mid-measurement.  The opt-in paths keep
+    # working under the same warmup: the ring flavor (VDA_STREAM_RING=1)
+    # engages once the recent-29 context ids are consecutive (~step 30) and
+    # the direct kernel (VDA_STREAM_DIRECT=1) at step 42 — n_warm=44 covers
+    # both.
     for _ in range(n_warm):
         d = stream.submit(frame)
     np.asarray(d[:1, :1])

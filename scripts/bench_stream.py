@@ -107,7 +107,7 @@ def main():
                     wp = 1 + i % (_BUF_ROWS - 1)
                     d, buffers = inner(
                         params, frames[i], buffers, ctx,
-                        jnp.int32(wp), jnp.int32(wp),
+                        jnp.int32(wp), None,
                         cfg, (518, 518), (518, 518), jnp.bfloat16, "auto",
                         "kv")
                     acc = acc + d[0, 0]
@@ -122,7 +122,8 @@ def main():
         # in-graph cost of the steady-state RING step (_stream_step_ring:
         # three-slice context assembly).  Same DCE/CSE harness as "step".
         from vda_tpu.infer.streaming import (
-            _BUF_ROWS,
+            _BUF_ROWS_RING,
+            _mirror_row,
             _pad_rows,
             _stream_step_ring,
         )
@@ -130,8 +131,8 @@ def main():
         buffers = []
         for bhw, c in shapes:
             bp = _pad_rows(bhw)
-            buffers += [(jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16),
-                         jnp.ones((bp, _BUF_ROWS, c), jnp.bfloat16))] * 2
+            buffers += [(jnp.ones((bp, _BUF_ROWS_RING, c), jnp.bfloat16),
+                         jnp.ones((bp, _BUF_ROWS_RING, c), jnp.bfloat16))] * 2
         frames = jnp.asarray(
             np.random.default_rng(0).integers(
                 0, 255, (6, 518, 518, 3), np.uint8))
@@ -142,10 +143,11 @@ def main():
             def f(params, frames, buffers):
                 acc = jnp.float32(0)
                 for i in range(k):
-                    wp = 1 + i % (_BUF_ROWS - 1)
+                    wp = 1 + i % 44
                     d, buffers = inner(
                         params, frames[i], buffers, jnp.int32(2),
-                        jnp.int32(3 + i), jnp.int32(wp), jnp.int32(wp),
+                        jnp.int32(3 + i), jnp.int32(wp),
+                        jnp.int32(_mirror_row(wp)),
                         cfg, (518, 518), (518, 518), jnp.bfloat16, "auto",
                         "kv")
                     acc = acc + d[0, 0]
@@ -186,7 +188,7 @@ def main():
                 for i in range(k):
                     d, buffers = inner(
                         params, frames[i], buffers, pm, valid,
-                        jnp.int32(32 + i), jnp.int32(32 + i), cfg,
+                        jnp.int32(32 + i), None, cfg,
                         (518, 518), (518, 518), jnp.bfloat16, "auto")
                     acc = acc + d[0, 0]
                 return acc
@@ -225,7 +227,7 @@ def main():
                 acc = jnp.float32(0)
                 for i in range(k):
                     d, buffers = inner(
-                        params, frames[i], buffers, ctx, wp, wp, cfg,
+                        params, frames[i], buffers, ctx, wp, None, cfg,
                         (518, 518), (518, 518), jnp.bfloat16, "auto", "kv", 4)
                     acc = acc + d.sum()
                 return acc
@@ -285,12 +287,12 @@ def main():
 
     if "rasm" in stages:
         # three-slice ring context assembly (streaming._stream_step_ring)
-        from vda_tpu.infer.streaming import _BUF_ROWS, _CTX
+        from vda_tpu.infer.streaming import _BUF_ROWS_RING, _CTX
 
         shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
         bufs = []
         for bhw, c in shapes:
-            bufs += [jnp.ones((bhw, _BUF_ROWS, c), jnp.bfloat16)] * 4
+            bufs += [jnp.ones((bhw, _BUF_ROWS_RING, c), jnp.bfloat16)] * 4
 
         def make(k):
             @jax.jit

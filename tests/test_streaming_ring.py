@@ -43,7 +43,7 @@ def tiny():
 def test_ring_engages_and_matches_onehot(tiny, monkeypatch):
     cfg, params, frames = tiny
 
-    ref_stream = StreamingDepth(params, cfg, input_size=56)
+    ref_stream = StreamingDepth(params, cfg, input_size=56, ring=True)
     calls = {"ring": 0}
     orig = S._stream_step_ring
 
@@ -52,11 +52,12 @@ def test_ring_engages_and_matches_onehot(tiny, monkeypatch):
         return orig(*a, **kw)
 
     with monkeypatch.context() as m:
-        # force the one-hot path everywhere for the reference stream
+        # force the one-hot path everywhere for the reference stream (same
+        # ring buffer layout, so the cache buffers stay comparable)
         m.setattr(S, "_ring_ok", lambda ctx: False)
         ref = np.stack([np.asarray(ref_stream.submit(f)) for f in frames])
 
-    out_stream = StreamingDepth(params, cfg, input_size=56)
+    out_stream = StreamingDepth(params, cfg, input_size=56, ring=True)
     monkeypatch.setattr(S, "_stream_step_ring", spy)
     out = np.stack([np.asarray(out_stream.submit(f)) for f in frames])
 
@@ -64,6 +65,12 @@ def test_ring_engages_and_matches_onehot(tiny, monkeypatch):
     assert calls["ring"] >= 15, calls
     # identical rows concatenated in identical order -> bit-exact depths
     assert np.array_equal(ref, out)
+    # the DEFAULT layout (45 rows, single write, one-hot) selects the same
+    # rows in the same order -> also bit-exact across layouts
+    base_stream = StreamingDepth(params, cfg, input_size=56)
+    assert base_stream.ring is False and base_stream.rows == S._BUF_ROWS
+    base = np.stack([np.asarray(base_stream.submit(f)) for f in frames])
+    assert np.array_equal(base, out)
     # and bit-exact cache buffers (including the mirror rows — the one-hot
     # flavor performs the same dual write)
     for b1, b2 in zip(jax.tree_util.tree_leaves(ref_stream.buffers),
@@ -87,7 +94,7 @@ def test_ring_placement_long_run_no_collision():
         if S._ring_ok(ctx):
             start = S._row(ctx[2])
             assert 1 <= start <= S._RING
-            assert start + (S._CTX - 2) - 1 < S._BUF_ROWS
+            assert start + (S._CTX - 2) - 1 < S._BUF_ROWS_RING
             # the window rows must BE the recent entries' rows, in order
             rows = [S._row(i) for i in ctx[2:]]
             expect = [start + j for j in range(S._CTX - 2)]

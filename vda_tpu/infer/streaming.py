@@ -11,25 +11,26 @@ Rebuild of reference video_depth_anything/video_depth_stream.py:77-161:
     entry 1 once the window has slid past STREAM_GAP (reference :155-160)
 
 TPU-native design: each of the 8 cache slots is ONE device array of shape
-(BHW_pad, _BUF_ROWS, C) — a fixed-capacity ring buffer, BHW-major (row-padded
+(BHW_pad, rows, C) — a fixed-capacity ring buffer, BHW-major (row-padded
 to the direct kernel's tile).  Entry ids map to rows DETERMINISTICALLY
-(``_row``: anchor id 0 -> row 0, id k -> ring row 1 + (k-1) % 44, with rows
-45..72 mirroring ring rows 1..28).  Every step runs one jitted function with
-fully static shapes and the new cache row is written with ``.at[:, pos].set``
-(twice — primary + mirror); no retracing, no growing Python lists of device
-arrays.  Three step flavors:
+(``_row``: anchor id 0 -> row 0, id k -> ring row 1 + (k-1) % 44).  Every
+step runs one jitted function with fully static shapes and the new cache
+row is written with ``.at[:, pos].set``; no retracing, no growing Python
+lists of device arrays.  Step flavors:
 
-  * warmup (``_stream_step``): the reference's replication trick maps the
-    anchor row into MANY context positions, so the 31-entry context is
-    materialized with a one-hot contraction over the anchor+ring rows and
-    fed to the standard KV-cache attention,
-  * steady state (``_stream_step_ring``, the default once the 29 recent
-    context entries are consecutive ids — every step past ~30): the mirror
-    region makes those 29 rows one contiguous window, so the context is
-    read with three static-size dynamic slices — 31 rows instead of 45,
-    and no select matmul.  MEASURED (r3, paired same-process A/B on one
-    v5e): 22.28 vs 24.94 ms/frame one-hot, a 2.65 ms/frame win.  Kill
-    switch VDA_STREAM_RING=0 restores the one-hot steady state,
+  * default (``_stream_step``): the 31-entry context is materialized with a
+    one-hot contraction over the 45 buffer rows and fed to the standard
+    KV-cache attention.  This also expresses the warmup, where the
+    reference's replication trick maps the anchor row into MANY context
+    positions.  MEASURED fastest e2e (19.2 ms/frame vitl 518² on one v5e):
+    every ``.at[].set`` on the donated buffers costs a full-buffer pass, so
+    the leaner 45-row single-write layout beats both alternatives below,
+  * opt-in (``_stream_step_ring``, StreamingDepth(ring=True) /
+    VDA_STREAM_RING=1): mirror rows 45..72 make the 29 recent entries one
+    contiguous window, read with three static-size dynamic slices.  Wins
+    ~2.8 ms on the read at equal layout but pays ~6 ms for the layout
+    (bigger buffers + dual write) — see its docstring for the measured
+    ladder; net loss, kept for a future in-place-update toolchain,
   * opt-in (``_stream_step_direct``, VDA_STREAM_DIRECT=1): temporal
     attention reads the ring buffers IN PLACE via a fused Pallas kernel
     (ops/pallas_stream) — MEASURED SLOWER than the assembly it replaces
@@ -66,16 +67,22 @@ _CTX = INFER_LEN - 1  # 31 context entries
 # the new row written BEFORE the eviction (reference appends at :153 and
 # deletes at :159), so _RING=44 leaves a safety margin of 1: row(id) last
 # held id-44, evicted when order[1] passed id-41 (checked live by an assert
-# in _advance_bookkeeping).  Rows _ONE_HOT (45)..72 MIRROR ring rows 1..28
-# (every write lands twice, see _write_row) so the 29 most-recent context
-# entries — consecutive ids in steady state — are ONE contiguous row window
-# readable with a static-size dynamic slice instead of a one-hot contraction
-# over every row (~0.4 GB/step less HBM read + no (31, rows) select matmul).
-# One-hot consumers (warmup, group mode) read only buf[:, :_ONE_HOT].
+# in _advance_bookkeeping).  In the OPT-IN ring layout, rows _ONE_HOT
+# (45)..72 MIRROR ring rows 1..28 (the write lands twice, see _write_row) so
+# the 29 most-recent context entries — consecutive ids in steady state — are
+# ONE contiguous row window readable with a static-size dynamic slice.
+# One-hot consumers (the default flavor, group mode) read buf[:, :_ONE_HOT].
 _RING = STREAM_MAX_CACHE + 2
-_MIRROR = INFER_LEN - 4  # ring rows 1.._MIRROR get a +_RING twin
+_MIRROR = INFER_LEN - 4  # ring rows 1.._MIRROR get a +_RING twin (ring layout)
 _ONE_HOT = _RING + 1
-_BUF_ROWS = _ONE_HOT + _MIRROR
+# Default layout: 45 rows, ONE buffer write per step.  The opt-in ring layout
+# (StreamingDepth(ring=True) / VDA_STREAM_RING=1) appends _MIRROR mirror rows
+# so the steady-state context is readable with three static slices — MEASURED
+# NET LOSS on-chip (see _stream_step_ring); kept because the mechanism wins
+# if the per-step full-buffer copy is ever eliminated (donated .at[].set is
+# NOT in-place through XLA today — each write pass costs ~buffer-size/BW).
+_BUF_ROWS = _ONE_HOT
+_BUF_ROWS_RING = _ONE_HOT + _MIRROR
 
 
 def _row(entry_id: int) -> int:
@@ -109,13 +116,18 @@ def _to_out_depth(depth, out_hw):
 
 def _write_row(buf, nc, write_pos, mirror_pos):
     """Write a new (BHW, 1, C) cache row into the (BHW_pad, ROWS, C) buffer
-    at ``write_pos`` AND ``mirror_pos`` (shared by every step flavor).
+    at ``write_pos`` — and, in the ring layout, at ``mirror_pos`` too
+    (shared by every step flavor).
 
-    mirror_pos == write_pos outside the mirrored ring region — the second
-    write is then a harmless idempotent overwrite, which keeps the jitted
-    step free of a lax.cond."""
+    mirror_pos is None in the default layout: each ``.at[].set`` on the
+    donated buffers costs a FULL-buffer pass through XLA (measured +2.0
+    ms/step for an idempotent second write at vitl 518², +4.0 more when the
+    buffers grow 45->73 rows), so the second write only exists when the ring
+    layout actually needs the twin."""
     row = nc[:, 0].astype(buf.dtype)
     buf = buf.at[:nc.shape[0], write_pos].set(row)
+    if mirror_pos is None:
+        return buf
     return buf.at[:nc.shape[0], mirror_pos].set(row)
 
 
@@ -194,6 +206,16 @@ def _stream_step_ring(params, frame_u8, buffers, a1_row, run_start, write_pos,
     _ONE_HOT rows (~0.4 GB/step less HBM read at vitl 518², plus no
     (31, rows) select matmul).  Identical math to ``_stream_step`` with the
     same ctx — concatenation of the same rows in the same order.
+
+    MEASURED NET LOSS on-chip (r3 same-session ladder, vitl 518²):
+    19.22 ms/frame one-hot on the default 45-row single-write layout vs
+    21.20 (45 rows + idempotent dual write) vs 22.44 (this path, 73 rows)
+    vs 25.22 (one-hot over 73 rows).  The slice read does win ~2.8 ms over
+    one-hot AT EQUAL LAYOUT, but the layout it needs (mirror rows + dual
+    write) costs ~6 ms: every ``.at[].set`` on the donated buffers is a
+    full-buffer pass, and the ring layout grows the buffers 1.27->2.06 GB
+    and doubles the writes.  Opt-in via StreamingDepth(ring=True); becomes
+    interesting again only if the update copy is eliminated.
     """
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
@@ -310,7 +332,8 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
             params["head"], feats_j, patch_hw, 1, cfg,
             cached_hidden_state_list=cache_list, cache_kind=cache_kind)
         stage_outs.append(stage_out)
-        wp, mp = write_pos[j], mirror_pos[j]
+        wp = write_pos[j]
+        mp = None if mirror_pos is None else mirror_pos[j]
         buffers = jax.tree_util.tree_map(
             lambda buf, nc, wp=wp, mp=mp: _write_row(buf, nc, wp, mp),
             buffers, list(new_caches))
@@ -326,14 +349,15 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
     return depths, buffers
 
 
-def _pos_map(ctx: List[int]):
+def _pos_map(ctx: List[int], rows: int = _BUF_ROWS):
     """Row -> logical-context-position table for the direct kernel.
 
-    ctx: 31 DISTINCT buffer rows in context order.  Returns
-    (pos_map (_BUF_ROWS,) int32, valid (_BUF_ROWS,) bool): pos_map[r] is the
-    context position of row r (arbitrary where valid[r] is False)."""
-    pos_map = np.zeros((_BUF_ROWS,), np.int32)
-    valid = np.zeros((_BUF_ROWS,), np.bool_)
+    ctx: 31 DISTINCT buffer rows in context order; rows: the buffer's row
+    count (layout-dependent).  Returns (pos_map (rows,) int32, valid (rows,)
+    bool): pos_map[r] is the context position of row r (arbitrary where
+    valid[r] is False)."""
+    pos_map = np.zeros((rows,), np.int32)
+    valid = np.zeros((rows,), np.bool_)
     for i, r in enumerate(ctx):
         pos_map[r] = i
         valid[r] = True
@@ -394,12 +418,17 @@ class StreamingDepth:
 
     def __init__(self, params, cfg: ModelConfig, input_size: int = 518,
                  fp32: bool = False, attn_impl: str = "auto",
-                 cache_kind: str = "kv"):
+                 cache_kind: str = "kv", ring: Optional[bool] = None):
         """cache_kind: "kv" (default) caches pre-PE K/V projections and skips
         re-projecting the 31 context frames every step (~0.6 TFLOP/step at
         vitl, see models/temporal._temporal_attention_kv); "h" caches pre-PE
         hidden states exactly like the reference (video_depth_stream.py:
         134-140).  Outputs agree to ~1 bf16 ulp (tests/test_streaming_kv.py).
+
+        ring: opt-in mirrored ring-buffer layout whose steady-state step
+        reads the context with three static slices (``_stream_step_ring``) —
+        bit-exact, but a MEASURED net loss on-chip (see that docstring), so
+        the default (None -> VDA_STREAM_RING env, else off) stays one-hot.
         """
         self.params = params
         self.cfg = cfg
@@ -407,6 +436,9 @@ class StreamingDepth:
         self.dtype = jnp.float32 if fp32 else jnp.bfloat16
         self.attn_impl = attn_impl
         self.cache_kind = cache_kind
+        self.ring = (os.environ.get("VDA_STREAM_RING", "0") == "1"
+                     if ring is None else ring)
+        self.rows = _BUF_ROWS_RING if self.ring else _BUF_ROWS
         self.reset()
 
     def reset(self):
@@ -447,7 +479,7 @@ class StreamingDepth:
             # replication trick (reference :118): the first frame's cache is
             # stored once; the first INFER_LEN logical entries all map to row 0
             def make_buf(row):
-                return (jnp.zeros((_pad_rows(row.shape[0]), _BUF_ROWS,
+                return (jnp.zeros((_pad_rows(row.shape[0]), self.rows,
                                    row.shape[1]), row.dtype)
                         .at[:row.shape[0], 0].set(row))
 
@@ -465,27 +497,28 @@ class StreamingDepth:
         order, free = list(self.order), list(self.free)
         ctx, new_id = _advance_bookkeeping(step_id, order, free)
         write_pos = _row(new_id)
-        mirror_pos = _mirror_row(write_pos)
+        mirror_pos = (jnp.int32(_mirror_row(write_pos))
+                      if self.ring else None)
         ctx_rows = [_row(i) for i in ctx]
         if self._direct_ok(ctx_rows):
-            pos_map, valid = _pos_map(ctx_rows)
+            pos_map, valid = _pos_map(ctx_rows, self.rows)
             depth, self.buffers = _stream_step_direct(
                 self.params, jnp.asarray(frame), self.buffers,
                 jnp.asarray(pos_map), jnp.asarray(valid),
-                jnp.int32(write_pos), jnp.int32(mirror_pos), self.cfg,
+                jnp.int32(write_pos), mirror_pos, self.cfg,
                 self.net_hw, self.out_hw, self.dtype, self.attn_impl)
-        elif _ring_ok(ctx) and os.environ.get("VDA_STREAM_RING", "1") == "1":
+        elif self.ring and _ring_ok(ctx):
             depth, self.buffers = _stream_step_ring(
                 self.params, jnp.asarray(frame), self.buffers,
                 jnp.int32(ctx_rows[1]), jnp.int32(ctx_rows[2]),
-                jnp.int32(write_pos), jnp.int32(mirror_pos), self.cfg,
+                jnp.int32(write_pos), mirror_pos, self.cfg,
                 self.net_hw, self.out_hw, self.dtype, self.attn_impl,
                 self.cache_kind)
         else:
             depth, self.buffers = _stream_step(
                 self.params, jnp.asarray(frame), self.buffers,
                 jnp.asarray(ctx_rows, jnp.int32), jnp.int32(write_pos),
-                jnp.int32(mirror_pos), self.cfg, self.net_hw, self.out_hw,
+                mirror_pos, self.cfg, self.net_hw, self.out_hw,
                 self.dtype, self.attn_impl, self.cache_kind)
         self.id, self.order, self.free = step_id, order, free
         return depth
@@ -558,7 +591,7 @@ class StreamingDepth:
             write_rows.append(_row(new_id))
             mirror_rows.append(_mirror_row(write_rows[-1]))
         if self._direct_ok(*ctx_rows):
-            maps = [_pos_map(c) for c in ctx_rows]
+            maps = [_pos_map(c, self.rows) for c in ctx_rows]
             sel = (jnp.asarray(np.stack([m for m, _ in maps])),
                    jnp.asarray(np.stack([v for _, v in maps])))
             direct = True
@@ -568,7 +601,7 @@ class StreamingDepth:
         depths, self.buffers = _stream_step_group(
             self.params, jnp.asarray(frames), self.buffers, sel,
             jnp.asarray(write_rows, jnp.int32),
-            jnp.asarray(mirror_rows, jnp.int32),
+            jnp.asarray(mirror_rows, jnp.int32) if self.ring else None,
             self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
             self.cache_kind, k, direct)
         self.id, self.order, self.free = sim_id, order, free
