@@ -20,11 +20,13 @@ lists of device arrays.  Step flavors:
 
   * default (``_stream_step``): the 31-entry context is materialized with a
     one-hot contraction over the 45 buffer rows and fed to the standard
-    KV-cache attention.  This also expresses the warmup, where the
+    KV-cache attention; the new rows are committed by a separate write-only
+    dispatch (``_write_step``).  This also expresses the warmup, where the
     reference's replication trick maps the anchor row into MANY context
-    positions.  MEASURED fastest e2e (19.2 ms/frame vitl 518² on one v5e):
-    every ``.at[].set`` on the donated buffers costs a full-buffer pass, so
-    the leaner 45-row single-write layout beats both alternatives below,
+    positions.  MEASURED fastest e2e (19.36 ms/frame vitl 518² on one
+    v5e): extra ``.at[].set`` passes and oversized buffers each cost
+    full-buffer passes, so the lean 45-row single-write layout beats both
+    alternatives below,
   * opt-in (``_stream_step_ring``, StreamingDepth(ring=True) /
     VDA_STREAM_RING=1): mirror rows 45..72 make the 29 recent entries one
     contiguous window, read with three static-size dynamic slices.  Wins
@@ -75,12 +77,11 @@ _CTX = INFER_LEN - 1  # 31 context entries
 _RING = STREAM_MAX_CACHE + 2
 _MIRROR = INFER_LEN - 4  # ring rows 1.._MIRROR get a +_RING twin (ring layout)
 _ONE_HOT = _RING + 1
-# Default layout: 45 rows, ONE buffer write per step.  The opt-in ring layout
+# Default layout: 45 rows, ONE buffer write per step (committed by the
+# write-only _write_step dispatch).  The opt-in ring layout
 # (StreamingDepth(ring=True) / VDA_STREAM_RING=1) appends _MIRROR mirror rows
-# so the steady-state context is readable with three static slices — MEASURED
-# NET LOSS on-chip (see _stream_step_ring); kept because the mechanism wins
-# if the per-step full-buffer copy is ever eliminated (donated .at[].set is
-# NOT in-place through XLA today — each write pass costs ~buffer-size/BW).
+# so the steady-state context is readable with three static slices —
+# MEASURED NET LOSS on-chip in both write regimes (see _stream_step_ring).
 _BUF_ROWS = _ONE_HOT
 _BUF_ROWS_RING = _ONE_HOT + _MIRROR
 
@@ -116,19 +117,36 @@ def _to_out_depth(depth, out_hw):
 
 def _write_row(buf, nc, write_pos, mirror_pos):
     """Write a new (BHW, 1, C) cache row into the (BHW_pad, ROWS, C) buffer
-    at ``write_pos`` — and, in the ring layout, at ``mirror_pos`` too
-    (shared by every step flavor).
+    at ``write_pos`` — and, in the ring layout, at ``mirror_pos`` too.
 
-    mirror_pos is None in the default layout: each ``.at[].set`` on the
-    donated buffers costs a FULL-buffer pass through XLA (measured +2.0
-    ms/step for an idempotent second write at vitl 518², +4.0 more when the
-    buffers grow 45->73 rows), so the second write only exists when the ring
-    layout actually needs the twin."""
+    mirror_pos is None in the default layout: a second ``.at[].set`` in a
+    program that also READS the buffers costs a full-buffer pass through
+    XLA (measured +2.0 ms/step e2e at vitl 518²), so the twin write only
+    exists when the ring layout actually needs it."""
     row = nc[:, 0].astype(buf.dtype)
     buf = buf.at[:nc.shape[0], write_pos].set(row)
     if mirror_pos is None:
         return buf
     return buf.at[:nc.shape[0], mirror_pos].set(row)
+
+
+@functools.partial(jax.jit, donate_argnames=("buffers",))
+def _write_step(buffers, new_caches, write_pos, mirror_pos):
+    """Commit the step's new cache rows — a SEPARATE, write-only dispatch.
+
+    The step flavors are read-only on the buffers and RETURN their new rows;
+    this tiny donated program commits them.  MEASURED (one v5e, vitl 518²):
+    e2e NEUTRAL vs fusing the write into the step (19.358 vs 19.355
+    ms/frame) — in the full program XLA already avoided the read-vs-write
+    copy that an isolated read+write harness pays (9.44 ms fused vs 4.55
+    read + 1.77 write + async overlap = 5.07 split).  Kept because the
+    write-only program is provably in-place under ANY buffer layout (the
+    fused form regressed +2 ms with a dual write and +4 ms with 73-row
+    buffers — full-buffer passes the split form cannot produce), and the
+    read steps stay donation-free."""
+    return jax.tree_util.tree_map(
+        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
+        buffers, list(new_caches))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
@@ -147,22 +165,23 @@ def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl", "cache_kind"),
-                   donate_argnums=(2,))  # buffers update in place (~600 MB)
-def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos, mirror_pos,
+                                             "attn_impl", "cache_kind"))
+def _stream_step(params, frame_u8, buffers, ctx_idx,
                  cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
                  cache_kind):
-    """One causal step (one-hot context assembly — the warmup flavor).
+    """One causal step (one-hot context assembly — the default flavor).
 
-    buffers: pytree of 8 cache slots, each (BHW, _BUF_ROWS, C) — one array
+    READ-ONLY on the buffers: returns (depth, new_caches) and the caller
+    commits the new rows with ``_write_step`` (a second dispatch) — fusing
+    the write here costs a full-buffer copy, see _write_step.
+
+    buffers: pytree of 8 cache slots, each (BHW, rows, C) — one array
     per slot in "h" mode, a (k, v) tuple per slot in "kv" mode (the fast
     path: pre-PE K/V projections, models/temporal._temporal_attention_kv).
     BHW-major so the context assembly needs no transpose.
     ctx_idx: int32 (31,) rows forming the KV context (oldest..newest); may
     repeat rows (the warmup replication trick), which only this flavor can
     express.  Rows are always < _ONE_HOT (one-hot never selects mirrors).
-    write_pos/mirror_pos: int32 scalars, rows to overwrite with the new
-    frame's cache.
     """
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
@@ -181,17 +200,13 @@ def _stream_step(params, frame_u8, buffers, ctx_idx, write_pos, mirror_pos,
                                       cache_kind=cache_kind)
     d = _to_out_depth(depth, out_hw)
     # new rows are unpadded (BHW, 1, C); buffers carry _pad_rows(BHW) rows
-    new_buffers = jax.tree_util.tree_map(
-        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
-        buffers, list(new_caches))
-    return d, new_buffers
+    return d, list(new_caches)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl", "cache_kind"),
-                   donate_argnums=(2,))
-def _stream_step_ring(params, frame_u8, buffers, a1_row, run_start, write_pos,
-                      mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
+                                             "attn_impl", "cache_kind"))
+def _stream_step_ring(params, frame_u8, buffers, a1_row, run_start,
+                      cfg: ModelConfig, net_hw, out_hw, dtype,
                       attn_impl, cache_kind):
     """Steady-state step: the context is read with three static-size slices.
 
@@ -210,12 +225,12 @@ def _stream_step_ring(params, frame_u8, buffers, a1_row, run_start, write_pos,
     MEASURED NET LOSS on-chip (r3 same-session ladder, vitl 518²):
     19.22 ms/frame one-hot on the default 45-row single-write layout vs
     21.20 (45 rows + idempotent dual write) vs 22.44 (this path, 73 rows)
-    vs 25.22 (one-hot over 73 rows).  The slice read does win ~2.8 ms over
-    one-hot AT EQUAL LAYOUT, but the layout it needs (mirror rows + dual
-    write) costs ~6 ms: every ``.at[].set`` on the donated buffers is a
-    full-buffer pass, and the ring layout grows the buffers 1.27->2.06 GB
-    and doubles the writes.  Opt-in via StreamingDepth(ring=True); becomes
-    interesting again only if the update copy is eliminated.
+    vs 25.22 (one-hot over 73 rows) — and still 21.83 vs 19.36 after the
+    write-dispatch split moved both layouts' writes into the in-place
+    ``_write_step``.  The slice read does win ~2.8 ms over one-hot AT EQUAL
+    LAYOUT, but the layout it needs (1.27->2.06 GB buffers, dual write)
+    costs more in every regime measured.  Opt-in via
+    StreamingDepth(ring=True); kept as a measured result.
     """
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
@@ -233,17 +248,13 @@ def _stream_step_ring(params, frame_u8, buffers, a1_row, run_start, write_pos,
                                       cached_hidden_state_list=cache_list,
                                       cache_kind=cache_kind)
     d = _to_out_depth(depth, out_hw)
-    new_buffers = jax.tree_util.tree_map(
-        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
-        buffers, list(new_caches))
-    return d, new_buffers
+    return d, list(new_caches)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw",
-                                             "dtype", "attn_impl"),
-                   donate_argnums=(2,))
-def _stream_step_direct(params, frame_u8, buffers, pos_map, valid, write_pos,
-                        mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
+                                             "dtype", "attn_impl"))
+def _stream_step_direct(params, frame_u8, buffers, pos_map, valid,
+                        cfg: ModelConfig, net_hw, out_hw, dtype,
                         attn_impl):
     """Steady-state step: temporal attention reads the ring buffers in place.
 
@@ -262,10 +273,7 @@ def _stream_step_direct(params, frame_u8, buffers, pos_map, valid, write_pos,
                                       cached_hidden_state_list=cache_list,
                                       cache_kind="kv")
     d = _to_out_depth(depth, out_hw)
-    new_buffers = jax.tree_util.tree_map(
-        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
-        buffers, list(new_caches))
-    return d, new_buffers
+    return d, list(new_caches)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
@@ -502,24 +510,26 @@ class StreamingDepth:
         ctx_rows = [_row(i) for i in ctx]
         if self._direct_ok(ctx_rows):
             pos_map, valid = _pos_map(ctx_rows, self.rows)
-            depth, self.buffers = _stream_step_direct(
+            depth, new_caches = _stream_step_direct(
                 self.params, jnp.asarray(frame), self.buffers,
-                jnp.asarray(pos_map), jnp.asarray(valid),
-                jnp.int32(write_pos), mirror_pos, self.cfg,
+                jnp.asarray(pos_map), jnp.asarray(valid), self.cfg,
                 self.net_hw, self.out_hw, self.dtype, self.attn_impl)
         elif self.ring and _ring_ok(ctx):
-            depth, self.buffers = _stream_step_ring(
+            depth, new_caches = _stream_step_ring(
                 self.params, jnp.asarray(frame), self.buffers,
-                jnp.int32(ctx_rows[1]), jnp.int32(ctx_rows[2]),
-                jnp.int32(write_pos), mirror_pos, self.cfg,
+                jnp.int32(ctx_rows[1]), jnp.int32(ctx_rows[2]), self.cfg,
                 self.net_hw, self.out_hw, self.dtype, self.attn_impl,
                 self.cache_kind)
         else:
-            depth, self.buffers = _stream_step(
+            depth, new_caches = _stream_step(
                 self.params, jnp.asarray(frame), self.buffers,
-                jnp.asarray(ctx_rows, jnp.int32), jnp.int32(write_pos),
-                mirror_pos, self.cfg, self.net_hw, self.out_hw,
-                self.dtype, self.attn_impl, self.cache_kind)
+                jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
+                self.out_hw, self.dtype, self.attn_impl, self.cache_kind)
+        # commit the new rows in a SECOND, write-only dispatch: truly
+        # in-place (donated, no reads) and overlapped with the next step —
+        # fusing it into the step costs a full-buffer copy (_write_step)
+        self.buffers = _write_step(self.buffers, new_caches,
+                                   jnp.int32(write_pos), mirror_pos)
         self.id, self.order, self.free = step_id, order, free
         return depth
 
