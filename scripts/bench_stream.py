@@ -213,24 +213,36 @@ def main():
         frames = jnp.asarray(
             np.random.default_rng(0).integers(
                 0, 255, (3, 4, 518, 518, 3), np.uint8))
-        ctx = jnp.tile(jnp.arange(_CTX, dtype=jnp.int32)[None], (4, 1))
-        wp = jnp.arange(1, 5, dtype=jnp.int32)
+        # deferred-write selection format: steady-state shape — positions
+        # 2..29 from buffer rows, the last 1..3 recent entries in-group
+        from vda_tpu.infer.streaming import _ONE_HOT
+        sel_buf = np.zeros((4, _CTX, _ONE_HOT), np.float32)
+        seljs = []
+        for j in range(4):
+            selj = np.zeros((_CTX, j), np.float32)
+            for p in range(_CTX):
+                if j and p >= _CTX - j:
+                    selj[p, p - (_CTX - j)] = 1.0
+                else:
+                    sel_buf[j, p, p] = 1.0
+            seljs.append(selj)
+        ctx = (jnp.asarray(sel_buf), tuple(jnp.asarray(s) for s in seljs))
         inner = _stream_step_group.__wrapped__
 
         def make(k):
             @jax.jit
-            def f(params, frames, buffers, ctx, wp):
+            def f(params, frames, buffers, ctx):
                 acc = jnp.float32(0)
                 for i in range(k):
-                    d, buffers = inner(
-                        params, frames[i], buffers, ctx, wp, None, cfg,
+                    d, _ = inner(
+                        params, frames[i], buffers, ctx, None, None, cfg,
                         (518, 518), (518, 518), jnp.bfloat16, "auto", "kv", 4)
                     acc = acc + d.sum()
                 return acc
             return f
 
         ms = slope({"lo": make(1), "hi": make(3)},
-                   (params, frames, buffers, ctx, wp), lo=1, hi=3)
+                   (params, frames, buffers, ctx), lo=1, hi=3)
         print(f"group(4) step in-graph: {ms:.2f} ms ({ms/4:.2f} ms/frame)",
               flush=True)
 

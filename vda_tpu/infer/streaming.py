@@ -132,21 +132,31 @@ def _write_row(buf, nc, write_pos, mirror_pos):
 
 @functools.partial(jax.jit, donate_argnames=("buffers",))
 def _write_step(buffers, new_caches, write_pos, mirror_pos):
-    """Commit the step's new cache rows — a SEPARATE, write-only dispatch.
+    """Commit new cache rows — a SEPARATE, write-only dispatch.
 
-    The step flavors are read-only on the buffers and RETURN their new rows;
-    this tiny donated program commits them.  MEASURED (one v5e, vitl 518²):
-    e2e NEUTRAL vs fusing the write into the step (19.358 vs 19.355
-    ms/frame) — in the full program XLA already avoided the read-vs-write
-    copy that an isolated read+write harness pays (9.44 ms fused vs 4.55
-    read + 1.77 write + async overlap = 5.07 split).  Kept because the
-    write-only program is provably in-place under ANY buffer layout (the
-    fused form regressed +2 ms with a dual write and +4 ms with 73-row
-    buffers — full-buffer passes the split form cannot produce), and the
-    read steps stay donation-free."""
-    return jax.tree_util.tree_map(
-        lambda buf, nc: _write_row(buf, nc, write_pos, mirror_pos),
-        buffers, list(new_caches))
+    The step flavors are read-only on the buffers and RETURN their new rows
+    (leaves (BHW, n, C); n == 1 for ``submit``, n == k for the deferred
+    group mode); this tiny donated program commits them at rows
+    ``write_pos`` ((n,) int32; ``mirror_pos`` likewise or None).  MEASURED
+    (one v5e, vitl 518²): e2e NEUTRAL vs fusing the write into the single
+    step (19.358 vs 19.355 ms/frame) — in the full program XLA already
+    avoided the read-vs-write copy that an isolated read+write harness pays
+    (9.44 ms fused vs 4.55 read + 1.77 write + async overlap = 5.07 split).
+    Kept because the write-only program is provably in-place under ANY
+    buffer layout (the fused form regressed +2 ms with a dual write and
+    +4 ms with 73-row buffers — full-buffer passes the split form cannot
+    produce), the read steps stay donation-free, and it is what makes the
+    DEFERRED group mode possible (k writes with zero in-graph read+write
+    coexistence)."""
+    def w(buf, nc):
+        for i in range(nc.shape[1]):
+            row = nc[:, i].astype(buf.dtype)
+            buf = buf.at[:nc.shape[0], write_pos[i]].set(row)
+            if mirror_pos is not None:
+                buf = buf.at[:nc.shape[0], mirror_pos[i]].set(row)
+        return buf
+
+    return jax.tree_util.tree_map(w, buffers, list(new_caches))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
@@ -278,8 +288,7 @@ def _stream_step_direct(params, frame_u8, buffers, pos_map, valid,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
                                              "attn_impl", "cache_kind", "k",
-                                             "direct"),
-                   donate_argnums=(2,))
+                                             "direct"))
 def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
                        mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
                        attn_impl, cache_kind, k: int, direct: bool = False):
@@ -298,14 +307,29 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
          (dpt_head_temporal_tail: refinenets 2/1 + output convs at
          148²..518², ~2/3 of the head's cost, where batch-1 wastes the chip).
 
-    The cache contents (and so every later frame) are identical to k
-    individual ``_stream_step`` calls — the cache is written by the
-    sequential stage.  The depths agree to reduction-order noise only
-    (~1 bf16 ulp; rel <1e-5 under fp32): the batched tail reassociates
-    conv reductions vs the batch-1 tail.  Latency (up to k frames of
-    buffering) trades for throughput.
+    DEFERRED WRITES (one-hot mode): the buffers are never written in-graph.
+    Each in-group frame's context is assembled as TWO contractions — a
+    (31, _ONE_HOT) one-hot over the buffer rows (zero rows at positions that
+    refer to ids written earlier IN this group) plus a tiny (31, j) one-hot
+    over the held new rows of frames 0..j-1 — so the cross-frame dependency
+    flows through live values instead of buffer writes.  The k new rows are
+    returned stacked (leaves (BHW, k, C)) and committed by ``_write_step``.
+    MEASURED (r3, one v5e): the deferral moved group-4 only 23.6 -> 23.3
+    ms/frame — the in-graph writes were NOT paying the isolated-harness
+    copy; the remaining gap to sequential submits (19.4) is the serialized
+    batch-1 head stage.  Kept for the cleaner dataflow and the removed
+    donate-then-reuse hazard.  The cache contents (and so every later
+    frame) remain bit-identical to k individual ``submit`` calls; the k
+    depths agree to reduction-order noise only (~1 bf16 ulp; rel <1e-5
+    under fp32) because the encoder and the output tail run batched.
+    Latency (up to k frames of buffering) trades for throughput.
 
-    ctx_idx: (k, 31) int32; write_pos: (k,) int32.
+    ctx_idx (one-hot mode): (sel_buf (k, 31, _ONE_HOT) float, seljs — tuple
+    of k (31, j) float arrays).  In direct mode ctx_idx is the
+    ((k, rows) pos_map, (k, rows) valid) pair, writes stay in-graph (the
+    Pallas kernel reads the buffers), and the updated buffers are returned.
+    write_pos/mirror_pos: (k,) int32 (direct mode only; pass None
+    otherwise).
     """
     from vda_tpu.models.dpt import (
         dpt_head_temporal_stage,
@@ -318,33 +342,46 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
     nh, nw = x.shape[2], x.shape[3]
     patch_hw = (nh // cfg.vit.patch_size, nw // cfg.vit.patch_size)
 
-    stage_outs = []
+    stage_outs, stage_caches = [], []
     for j in range(k):
         feats_j = [(t[j:j + 1], None if c is None else c[j:j + 1])
                    for t, c in feats]
         if direct:
-            # ctx_idx is ((k, _BUF_ROWS) pos_map, (k, _BUF_ROWS) valid) —
             # steady-state in-place buffer attention, see _stream_step_direct
             pos_map, valid = ctx_idx
             cache_list = [(kb, vb, pos_map[j], valid[j])
                           for kb, vb in buffers]
         else:
-            sel = jax.nn.one_hot(ctx_idx[j], _ONE_HOT, dtype=dtype)
+            sel_buf, seljs = ctx_idx
+            sb = sel_buf[j].astype(dtype)
+            sj = seljs[j].astype(dtype)
+            n_prev = sj.shape[1]
 
-            def ctx(buf, sel=sel):
-                return jnp.einsum("rt,btc->brc", sel,
-                                  buf[:, :_ONE_HOT].astype(dtype))
+            def ctx(buf, *rows, sb=sb, sj=sj, n_prev=n_prev):
+                c = jnp.einsum("rt,btc->brc", sb,
+                               buf[:, :_ONE_HOT].astype(dtype))
+                if n_prev:
+                    # held rows are unpadded (BHW, 1, C); c carries the
+                    # buffers' padded BHW — inject into the live rows only
+                    pr = jnp.concatenate(
+                        [r.astype(dtype) for r in rows], axis=1)
+                    inj = jnp.einsum("rj,bjc->brc", sj, pr)
+                    c = c.at[:pr.shape[0]].add(inj)
+                return c
 
-            cache_list = jax.tree_util.tree_map(ctx, buffers)
+            cache_list = jax.tree_util.tree_map(ctx, buffers, *stage_caches)
         stage_out, new_caches = dpt_head_temporal_stage(
             params["head"], feats_j, patch_hw, 1, cfg,
             cached_hidden_state_list=cache_list, cache_kind=cache_kind)
         stage_outs.append(stage_out)
-        wp = write_pos[j]
-        mp = None if mirror_pos is None else mirror_pos[j]
-        buffers = jax.tree_util.tree_map(
-            lambda buf, nc, wp=wp, mp=mp: _write_row(buf, nc, wp, mp),
-            buffers, list(new_caches))
+        if direct:
+            wp = write_pos[j]
+            mp = None if mirror_pos is None else mirror_pos[j]
+            buffers = jax.tree_util.tree_map(
+                lambda buf, nc, wp=wp, mp=mp: _write_row(buf, nc, wp, mp),
+                buffers, list(new_caches))
+        else:
+            stage_caches.append(list(new_caches))
 
     batched = tuple(jnp.concatenate([s[i] for s in stage_outs])
                     for i in range(3))
@@ -354,7 +391,11 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
     depth = jax.nn.relu(depth)
     depths = resize_bilinear(depth.astype(jnp.float32), out_hw,
                              align_corners=True)[..., 0]
-    return depths, buffers
+    if direct:
+        return depths, buffers
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *stage_caches)
+    return depths, stacked
 
 
 def _pos_map(ctx: List[int], rows: int = _BUF_ROWS):
@@ -505,7 +546,7 @@ class StreamingDepth:
         order, free = list(self.order), list(self.free)
         ctx, new_id = _advance_bookkeeping(step_id, order, free)
         write_pos = _row(new_id)
-        mirror_pos = (jnp.int32(_mirror_row(write_pos))
+        mirror_pos = (jnp.asarray([_mirror_row(write_pos)], jnp.int32)
                       if self.ring else None)
         ctx_rows = [_row(i) for i in ctx]
         if self._direct_ok(ctx_rows):
@@ -525,11 +566,11 @@ class StreamingDepth:
                 self.params, jnp.asarray(frame), self.buffers,
                 jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
                 self.out_hw, self.dtype, self.attn_impl, self.cache_kind)
-        # commit the new rows in a SECOND, write-only dispatch: truly
-        # in-place (donated, no reads) and overlapped with the next step —
-        # fusing it into the step costs a full-buffer copy (_write_step)
+        # commit the new rows in a SECOND, write-only dispatch: in-place
+        # under any layout and overlapped with the next step (_write_step)
         self.buffers = _write_step(self.buffers, new_caches,
-                                   jnp.int32(write_pos), mirror_pos)
+                                   jnp.asarray([write_pos], jnp.int32),
+                                   mirror_pos)
         self.id, self.order, self.free = step_id, order, free
         return depth
 
@@ -572,11 +613,13 @@ class StreamingDepth:
         all k are captured.
 
         MEASURED (r2/r3, one v5e): ON-DEVICE per-frame cost is
-        ~NEUTRAL-to-negative vs sequential submits (21.8 vs 20.05 ms/frame
-        e2e; 21.8 vs 22.0 in-graph) — the batched encoder/tail win is eaten
-        by the serialized head stage.  Group mode pays only when per-call
-        DISPATCH dominates (it collapses k dispatch round-trips into one):
-        through the dev tunnel's ~10 ms/call it wins clearly; on
+        ~NEUTRAL-to-negative vs sequential submits (23.3 group-4 vs 19.4
+        sequential e2e after the r3 deferred-write restructure; deferring
+        the k buffer writes out of the program moved only ~0.3 ms/frame —
+        the gap is the serialized batch-1 head stage, which the batched
+        encoder/tail win does not cover).  Group mode pays only when
+        per-call DISPATCH dominates (it collapses k dispatch round-trips
+        into one): through the dev tunnel's ~10 ms/call it wins clearly; on
         directly-attached hardware prefer plain ``submit`` until a profile
         says otherwise.
 
@@ -593,27 +636,50 @@ class StreamingDepth:
         # the dispatch succeeds — a failed compile/trace must not leave the
         # stream with advanced order/free but unwritten buffers
         sim_id, order, free = self.id, list(self.order), list(self.free)
-        ctx_rows, write_rows, mirror_rows = [], [], []
+        ctx_ids, ctx_rows, write_rows, mirror_rows = [], [], [], []
+        group_ids = []
         for _ in range(k):
             sim_id += 1
             ctx, new_id = _advance_bookkeeping(sim_id, order, free)
+            ctx_ids.append(list(ctx))
             ctx_rows.append([_row(i) for i in ctx])
             write_rows.append(_row(new_id))
             mirror_rows.append(_mirror_row(write_rows[-1]))
+            group_ids.append(new_id)
+        wp = jnp.asarray(write_rows, jnp.int32)
+        mp = jnp.asarray(mirror_rows, jnp.int32) if self.ring else None
         if self._direct_ok(*ctx_rows):
             maps = [_pos_map(c, self.rows) for c in ctx_rows]
             sel = (jnp.asarray(np.stack([m for m, _ in maps])),
                    jnp.asarray(np.stack([v for _, v in maps])))
-            direct = True
+            depths, self.buffers = _stream_step_group(
+                self.params, jnp.asarray(frames), self.buffers, sel, wp, mp,
+                self.cfg, self.net_hw, self.out_hw, self.dtype,
+                self.attn_impl, self.cache_kind, k, True)
         else:
-            sel = jnp.asarray(ctx_rows, jnp.int32)
-            direct = False
-        depths, self.buffers = _stream_step_group(
-            self.params, jnp.asarray(frames), self.buffers, sel,
-            jnp.asarray(write_rows, jnp.int32),
-            jnp.asarray(mirror_rows, jnp.int32) if self.ring else None,
-            self.cfg, self.net_hw, self.out_hw, self.dtype, self.attn_impl,
-            self.cache_kind, k, direct)
+            # deferred-write mode: split each frame's context selection into
+            # a buffer one-hot (zeroed at in-group positions) + a tiny
+            # one-hot over the earlier in-group frames' held rows
+            pos_of = {gid: i for i, gid in enumerate(group_ids)}
+            sel_buf = np.zeros((k, _CTX, _ONE_HOT), np.float32)
+            seljs = []
+            for j in range(k):
+                selj = np.zeros((_CTX, j), np.float32)
+                for p, (cid, crow) in enumerate(zip(ctx_ids[j],
+                                                    ctx_rows[j])):
+                    i = pos_of.get(cid)
+                    if i is not None and i < j:
+                        selj[p, i] = 1.0
+                    else:
+                        sel_buf[j, p, crow] = 1.0
+                seljs.append(selj)
+            depths, new_rows = _stream_step_group(
+                self.params, jnp.asarray(frames), self.buffers,
+                (jnp.asarray(sel_buf),
+                 tuple(jnp.asarray(s) for s in seljs)),
+                None, None, self.cfg, self.net_hw, self.out_hw, self.dtype,
+                self.attn_impl, self.cache_kind, k, False)
+            self.buffers = _write_step(self.buffers, new_rows, wp, mp)
         self.id, self.order, self.free = sim_id, order, free
         return depths
 
