@@ -65,6 +65,9 @@ def build_demo(encoder: str = "vitl", checkpoint: str = None,
 if __name__ == "__main__":
     import argparse
 
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # vitl compiles are minutes; cache across runs
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--encoder", default="vitl")
     parser.add_argument("--checkpoint", default=None)

@@ -95,6 +95,9 @@ if __name__ == "__main__":
     import argparse
     import json
 
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # vitl compiles are minutes; cache across runs
+
     parser = argparse.ArgumentParser()
     parser.add_argument("config", help="JSON batch config")
     parser.add_argument("--encoder", default="vits")

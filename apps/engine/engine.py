@@ -539,6 +539,8 @@ def run_queue(comm_dir: str):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # vitl compiles are minutes; cache across runs
     parser = argparse.ArgumentParser(description="VDA VFX engine (TPU)")
     parser.add_argument("--job", type=str, default=None,
                         help="JSON job file (CLI mode); omit for queue mode")

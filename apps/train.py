@@ -143,6 +143,8 @@ def synthetic_iter(batch: int, frames: int, size: int, seed: int = 0):
 
 
 def main(argv=None):
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # train-step compiles are minutes at vitl
     parser = argparse.ArgumentParser(description="VDA fine-tuning (TPU)")
     parser.add_argument("--encoder", default="vits",
                         choices=["vits", "vitb", "vitl", "vitg", "tiny"])

@@ -21,6 +21,8 @@ import numpy as np  # noqa: E402
 
 
 def main(argv=None):
+    from vda_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # vitl compiles are minutes; cache across runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--infer_path", type=str, default="")
     parser.add_argument("--json_file", type=str, default="")
