@@ -67,7 +67,7 @@ def test_ring_engages_and_matches_onehot(tiny, monkeypatch):
     assert np.array_equal(ref, out)
     # the DEFAULT layout (45 rows, single write, one-hot) selects the same
     # rows in the same order -> also bit-exact across layouts
-    base_stream = StreamingDepth(params, cfg, input_size=56)
+    base_stream = StreamingDepth(params, cfg, input_size=56, ring=False)
     assert base_stream.ring is False and base_stream.rows == S._BUF_ROWS
     base = np.stack([np.asarray(base_stream.submit(f)) for f in frames])
     assert np.array_equal(base, out)

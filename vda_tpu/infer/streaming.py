@@ -150,10 +150,8 @@ def _write_step(buffers, new_caches, write_pos, mirror_pos):
     coexistence)."""
     def w(buf, nc):
         for i in range(nc.shape[1]):
-            row = nc[:, i].astype(buf.dtype)
-            buf = buf.at[:nc.shape[0], write_pos[i]].set(row)
-            if mirror_pos is not None:
-                buf = buf.at[:nc.shape[0], mirror_pos[i]].set(row)
+            buf = _write_row(buf, nc[:, i:i + 1], write_pos[i],
+                             None if mirror_pos is None else mirror_pos[i])
         return buf
 
     return jax.tree_util.tree_map(w, buffers, list(new_caches))
@@ -286,13 +284,14 @@ def _stream_step_direct(params, frame_u8, buffers, pos_map, valid,
     return d, list(new_caches)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl", "cache_kind", "k",
-                                             "direct"))
-def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
-                       mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
-                       attn_impl, cache_kind, k: int, direct: bool = False):
+def _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
+                mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
+                attn_impl, cache_kind, k: int, direct: bool):
     """k causal steps in ONE dispatch: batch what causality allows.
+
+    Shared body of ``_stream_step_group`` (deferred-write one-hot mode) and
+    ``_stream_step_group_direct`` (opt-in Pallas in-place mode, donated
+    buffers + in-graph writes — the kernel must read the written rows).
 
     Frame j+1's temporal attention reads frame j's cache row, so the steps
     cannot simply be batched — but the dependency flows ONLY through the
@@ -396,6 +395,34 @@ def _stream_step_group(params, frames_u8, buffers, ctx_idx, write_pos,
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=1), *stage_caches)
     return depths, stacked
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw",
+                                             "dtype", "attn_impl",
+                                             "cache_kind", "k"))
+def _stream_step_group(params, frames_u8, buffers, ctx_idx,
+                       cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
+                       cache_kind, k: int):
+    """Deferred-write group step: read-only on the buffers (no donation
+    needed), returns (depths, stacked new rows) — see ``_group_body``."""
+    return _group_body(params, frames_u8, buffers, ctx_idx, None, None,
+                       cfg, net_hw, out_hw, dtype, attn_impl, cache_kind,
+                       k, direct=False)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw",
+                                             "dtype", "attn_impl",
+                                             "cache_kind", "k"),
+                   donate_argnums=(2,))
+def _stream_step_group_direct(params, frames_u8, buffers, ctx_idx, write_pos,
+                              mirror_pos, cfg: ModelConfig, net_hw, out_hw,
+                              dtype, attn_impl, cache_kind, k: int):
+    """Direct-kernel group step: the Pallas attention reads the ring buffers
+    in place, so the in-group writes must land in-graph and the buffers are
+    DONATED (in-place update, no full copy) — see ``_group_body``."""
+    return _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
+                       mirror_pos, cfg, net_hw, out_hw, dtype, attn_impl,
+                       cache_kind, k, direct=True)
 
 
 def _pos_map(ctx: List[int], rows: int = _BUF_ROWS):
@@ -652,10 +679,10 @@ class StreamingDepth:
             maps = [_pos_map(c, self.rows) for c in ctx_rows]
             sel = (jnp.asarray(np.stack([m for m, _ in maps])),
                    jnp.asarray(np.stack([v for _, v in maps])))
-            depths, self.buffers = _stream_step_group(
+            depths, self.buffers = _stream_step_group_direct(
                 self.params, jnp.asarray(frames), self.buffers, sel, wp, mp,
                 self.cfg, self.net_hw, self.out_hw, self.dtype,
-                self.attn_impl, self.cache_kind, k, True)
+                self.attn_impl, self.cache_kind, k)
         else:
             # deferred-write mode: split each frame's context selection into
             # a buffer one-hot (zeroed at in-group positions) + a tiny
@@ -677,8 +704,8 @@ class StreamingDepth:
                 self.params, jnp.asarray(frames), self.buffers,
                 (jnp.asarray(sel_buf),
                  tuple(jnp.asarray(s) for s in seljs)),
-                None, None, self.cfg, self.net_hw, self.out_hw, self.dtype,
-                self.attn_impl, self.cache_kind, k, False)
+                self.cfg, self.net_hw, self.out_hw, self.dtype,
+                self.attn_impl, self.cache_kind, k)
             self.buffers = _write_step(self.buffers, new_rows, wp, mp)
         self.id, self.order, self.free = sim_id, order, free
         return depths
