@@ -343,7 +343,10 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
 
     from vda_tpu.infer import StreamingDepth
 
-    stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl)
+    cache_dtype = ("int8" if os.environ.get("VDA_STREAM_KV8", "0") == "1"
+                   else "bf16")
+    stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
+                            cache_dtype=cache_dtype)
     frame = jnp.asarray(np.full((size, size, 3), 128, np.uint8))
     # warmup: compiles _first_step + _stream_step and crosses the eviction
     # threshold so every measured step uses steady-state bookkeeping with its

@@ -108,7 +108,7 @@ def main():
                 acc = jnp.float32(0)
                 for i in range(k):
                     d, _ = inner(
-                        params, frames[i], buffers, ctxs[i],
+                        params, frames[i], buffers, None, ctxs[i],
                         cfg, (518, 518), (518, 518), jnp.bfloat16, "auto",
                         "kv")
                     acc = acc + d[0, 0]

@@ -174,7 +174,7 @@ def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
                                              "attn_impl", "cache_kind"))
-def _stream_step(params, frame_u8, buffers, ctx_idx,
+def _stream_step(params, frame_u8, buffers, scales, ctx_idx,
                  cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
                  cache_kind):
     """One causal step (one-hot context assembly — the default flavor).
@@ -187,6 +187,10 @@ def _stream_step(params, frame_u8, buffers, ctx_idx,
     per slot in "h" mode, a (k, v) tuple per slot in "kv" mode (the fast
     path: pre-PE K/V projections, models/temporal._temporal_attention_kv).
     BHW-major so the context assembly needs no transpose.
+    scales: None for the bf16 cache; for the int8 cache
+    (cache_dtype="int8") a parallel pytree of per-row (rows,) fp32
+    dequantization scales — the assembly then multiplies each selected row
+    by its scale, so only HALF the cache bytes stream from HBM.
     ctx_idx: int32 (31,) rows forming the KV context (oldest..newest); may
     repeat rows (the warmup replication trick), which only this flavor can
     express.  Rows are always < _ONE_HOT (one-hot never selects mirrors).
@@ -199,16 +203,58 @@ def _stream_step(params, frame_u8, buffers, ctx_idx,
     # the anchor+ring rows once at full HBM bandwidth and rides the MXU.
     sel = jax.nn.one_hot(ctx_idx, _ONE_HOT, dtype=dtype)  # (31, rows)
 
-    def ctx(buf):
-        return jnp.einsum("rt,btc->brc", sel, buf[:, :_ONE_HOT].astype(dtype))
+    if scales is None:
+        def ctx(buf):
+            return jnp.einsum("rt,btc->brc", sel,
+                              buf[:, :_ONE_HOT].astype(dtype))
+    else:
+        sel32 = jax.nn.one_hot(ctx_idx, _ONE_HOT, dtype=jnp.float32)
 
-    cache_list = jax.tree_util.tree_map(ctx, buffers)
+        def ctx(buf, sc):
+            c = jnp.einsum("rt,btc->brc", sel,
+                           buf[:, :_ONE_HOT].astype(dtype))
+            s = (sel32 @ sc[:_ONE_HOT]).astype(dtype)  # (31,) per-position
+            return c * s[None, :, None]
+
+    if scales is None:
+        cache_list = jax.tree_util.tree_map(ctx, buffers)
+    else:
+        cache_list = jax.tree_util.tree_map(ctx, buffers, scales)
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
                                       cached_hidden_state_list=cache_list,
                                       cache_kind=cache_kind)
     d = _to_out_depth(depth, out_hw)
     # new rows are unpadded (BHW, 1, C); buffers carry _pad_rows(BHW) rows
     return d, list(new_caches)
+
+
+@functools.partial(jax.jit, donate_argnames=("buffers", "scales"))
+def _write_step_q8(buffers, scales, new_caches, write_pos):
+    """int8-cache variant of ``_write_step``: per-row symmetric quantization.
+
+    Each new (BHW, n, C) row block is quantized with ONE fp32 scale per row
+    (amax/127 over the whole row) into the donated int8 buffers; the scale
+    lands in the parallel ``scales`` pytree ((rows,) fp32 per buffer).  The
+    assembly (``_stream_step`` with scales) multiplies each selected row by
+    its scale — exact per-row rescaling, so the only error is the 8-bit
+    rounding of the cached K/V (or hidden) activations.  No mirror support:
+    the int8 cache is mutually exclusive with the (dead-end) ring layout."""
+    leaves_b = jax.tree_util.tree_leaves(buffers)
+    leaves_s = jax.tree_util.tree_leaves(scales)
+    leaves_n = jax.tree_util.tree_leaves(new_caches)
+    treedef = jax.tree_util.tree_structure(buffers)
+    out_b, out_s = [], []
+    for buf, sc, nc in zip(leaves_b, leaves_s, leaves_n):
+        for i in range(nc.shape[1]):
+            row = nc[:, i].astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(row)), 1e-8) / 127.0
+            q = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int8)
+            buf = buf.at[:q.shape[0], write_pos[i]].set(q)
+            sc = sc.at[write_pos[i]].set(s)
+        out_b.append(buf)
+        out_s.append(sc)
+    return (jax.tree_util.tree_unflatten(treedef, out_b),
+            jax.tree_util.tree_unflatten(treedef, out_s))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
@@ -494,7 +540,8 @@ class StreamingDepth:
 
     def __init__(self, params, cfg: ModelConfig, input_size: int = 518,
                  fp32: bool = False, attn_impl: str = "auto",
-                 cache_kind: str = "kv", ring: Optional[bool] = None):
+                 cache_kind: str = "kv", ring: Optional[bool] = None,
+                 cache_dtype: str = "bf16"):
         """cache_kind: "kv" (default) caches pre-PE K/V projections and skips
         re-projecting the 31 context frames every step (~0.6 TFLOP/step at
         vitl, see models/temporal._temporal_attention_kv); "h" caches pre-PE
@@ -505,15 +552,30 @@ class StreamingDepth:
         reads the context with three static slices (``_stream_step_ring``) —
         bit-exact, but a MEASURED net loss on-chip (see that docstring), so
         the default (None -> VDA_STREAM_RING env, else off) stays one-hot.
+
+        cache_dtype: "bf16" (default, lossless) or "int8" — per-row
+        symmetric quantization of the cache rows (``_write_step_q8``),
+        halving the cache footprint and the per-step HBM read of the
+        context assembly.  The attention itself stays bf16 (rows are
+        dequantized by the assembly); the only error is 8-bit rounding of
+        the cached activations.  Mutually exclusive with ``ring`` and the
+        direct kernel; ``submit_group`` falls back to sequential submits.
         """
+        if cache_dtype not in ("bf16", "int8"):
+            raise ValueError(f"cache_dtype must be bf16 or int8, "
+                             f"got {cache_dtype!r}")
         self.params = params
         self.cfg = cfg
         self.input_size = input_size
         self.dtype = jnp.float32 if fp32 else jnp.bfloat16
         self.attn_impl = attn_impl
         self.cache_kind = cache_kind
+        self.cache_dtype = cache_dtype
         self.ring = (os.environ.get("VDA_STREAM_RING", "0") == "1"
                      if ring is None else ring)
+        if cache_dtype == "int8" and self.ring:
+            raise ValueError("cache_dtype='int8' does not support the ring "
+                             "layout (a measured dead end anyway)")
         self.rows = _BUF_ROWS_RING if self.ring else _BUF_ROWS
         self.reset()
 
@@ -522,6 +584,7 @@ class StreamingDepth:
         self.net_hw: Optional[tuple] = None
         self.out_hw: Optional[tuple] = None
         self.buffers: Optional[List[jnp.ndarray]] = None
+        self.scales = None  # int8 cache only: per-row dequant scales pytree
         # host-side mirror of the reference's frame_cache_list bookkeeping:
         # LOGICAL frame id of each live cache entry, in window order (the
         # physical buffer row derives deterministically via _row)
@@ -554,12 +617,26 @@ class StreamingDepth:
 
             # replication trick (reference :118): the first frame's cache is
             # stored once; the first INFER_LEN logical entries all map to row 0
-            def make_buf(row):
-                return (jnp.zeros((_pad_rows(row.shape[0]), self.rows,
-                                   row.shape[1]), row.dtype)
-                        .at[:row.shape[0], 0].set(row))
+            if self.cache_dtype == "int8":
+                def make_buf(row):
+                    return jnp.zeros((_pad_rows(row.shape[0]), self.rows,
+                                      row.shape[1]), jnp.int8)
 
-            self.buffers = jax.tree_util.tree_map(make_buf, first_rows)
+                def make_sc(row):
+                    return jnp.zeros((self.rows,), jnp.float32)
+
+                self.buffers, self.scales = _write_step_q8(
+                    jax.tree_util.tree_map(make_buf, first_rows),
+                    jax.tree_util.tree_map(make_sc, first_rows),
+                    jax.tree_util.tree_map(lambda r: r[:, None], first_rows),
+                    jnp.asarray([0], jnp.int32))
+            else:
+                def make_buf(row):
+                    return (jnp.zeros((_pad_rows(row.shape[0]), self.rows,
+                                       row.shape[1]), row.dtype)
+                            .at[:row.shape[0], 0].set(row))
+
+                self.buffers = jax.tree_util.tree_map(make_buf, first_rows)
             self.net_hw, self.out_hw = net_hw, out_hw
             self.id = step_id
             self.order = [0] * INFER_LEN
@@ -576,13 +653,13 @@ class StreamingDepth:
         mirror_pos = (jnp.asarray([_mirror_row(write_pos)], jnp.int32)
                       if self.ring else None)
         ctx_rows = [_row(i) for i in ctx]
-        if self._direct_ok(ctx_rows):
+        if self.cache_dtype == "bf16" and self._direct_ok(ctx_rows):
             pos_map, valid = _pos_map(ctx_rows, self.rows)
             depth, new_caches = _stream_step_direct(
                 self.params, jnp.asarray(frame), self.buffers,
                 jnp.asarray(pos_map), jnp.asarray(valid), self.cfg,
                 self.net_hw, self.out_hw, self.dtype, self.attn_impl)
-        elif self.ring and _ring_ok(ctx):
+        elif self.cache_dtype == "bf16" and self.ring and _ring_ok(ctx):
             depth, new_caches = _stream_step_ring(
                 self.params, jnp.asarray(frame), self.buffers,
                 jnp.int32(ctx_rows[1]), jnp.int32(ctx_rows[2]), self.cfg,
@@ -591,13 +668,18 @@ class StreamingDepth:
         else:
             depth, new_caches = _stream_step(
                 self.params, jnp.asarray(frame), self.buffers,
+                self.scales if self.cache_dtype == "int8" else None,
                 jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
                 self.out_hw, self.dtype, self.attn_impl, self.cache_kind)
         # commit the new rows in a SECOND, write-only dispatch: in-place
         # under any layout and overlapped with the next step (_write_step)
-        self.buffers = _write_step(self.buffers, new_caches,
-                                   jnp.asarray([write_pos], jnp.int32),
-                                   mirror_pos)
+        wp = jnp.asarray([write_pos], jnp.int32)
+        if self.cache_dtype == "int8":
+            self.buffers, self.scales = _write_step_q8(
+                self.buffers, self.scales, new_caches, wp)
+        else:
+            self.buffers = _write_step(self.buffers, new_caches, wp,
+                                       mirror_pos)
         self.id, self.order, self.free = step_id, order, free
         return depth
 
@@ -659,6 +741,10 @@ class StreamingDepth:
                 "submit_group")
         k = len(frames)
         assert frames.shape[1:3] == self.out_hw, "frame size changed mid-stream"
+        if self.cache_dtype == "int8":
+            # the grouped program has no int8 dequant path — sequential
+            # submits preserve the protocol exactly (documented limitation)
+            return jnp.stack([self.submit(f) for f in frames])
         # simulate the k steps of bookkeeping on COPIES and commit only after
         # the dispatch succeeds — a failed compile/trace must not leave the
         # stream with advanced order/free but unwritten buffers
