@@ -95,7 +95,7 @@ def test_int8_group_falls_back_to_sequential(tiny):
 
 def test_write_step_q8_roundtrip():
     """Quantize->dequantize of one row through the real write/read path is
-    within 1/127 relative error per element (symmetric per-row scaling)."""
+    within amax/127 per element (symmetric per-row scaling)."""
     rng = np.random.default_rng(1)
     row = jnp.asarray(rng.standard_normal((20, 1, 8)), jnp.float32)
     buf = jnp.zeros((24, 5, 8), jnp.int8)

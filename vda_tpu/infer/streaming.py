@@ -237,8 +237,13 @@ def _write_step_q8(buffers, scales, new_caches, write_pos):
     lands in the parallel ``scales`` pytree ((rows,) fp32 per buffer).  The
     assembly (``_stream_step`` with scales) multiplies each selected row by
     its scale — exact per-row rescaling, so the only error is the 8-bit
-    rounding of the cached K/V (or hidden) activations.  No mirror support:
-    the int8 cache is mutually exclusive with the (dead-end) ring layout."""
+    rounding of the cached K/V (or hidden) activations.  MEASURED: per-row
+    18.84 ms/frame vs per-CHANNEL scales 19.13 (the (31, C) dequant
+    multiply fuses worse than the scalar-per-row one) at indistinguishable
+    tiny-model accuracy (p99 rel ~0.005 both) — revisit per-channel only if
+    real-checkpoint validation shows per-row insufficient.  No mirror
+    support: the int8 cache is mutually exclusive with the (dead-end) ring
+    layout."""
     leaves_b = jax.tree_util.tree_leaves(buffers)
     leaves_s = jax.tree_util.tree_leaves(scales)
     leaves_n = jax.tree_util.tree_leaves(new_caches)
