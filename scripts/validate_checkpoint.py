@@ -127,10 +127,27 @@ def delta1_aligned(ref: np.ndarray, got: np.ndarray, floor: float = 1e-4):
     return out
 
 
+def run_stream_int8_check(params, encoder: str, frames, input_size: int):
+    """delta1 between the bf16 and int8 streaming caches on real weights —
+    closes the int8 opt-in's accuracy caveat (infer/streaming._write_step_q8)
+    the moment weights are reachable."""
+    from vda_tpu.infer import StreamingDepth
+
+    cfg = get_config(encoder)
+    outs = {}
+    for cache_dtype in ("bf16", "int8"):
+        s = StreamingDepth(params, cfg, input_size=input_size,
+                           cache_dtype=cache_dtype)
+        outs[cache_dtype] = np.stack(
+            [np.asarray(s.submit(f)) for f in frames])
+    return delta1_aligned(outs["bf16"], outs["int8"])
+
+
 def validate(encoder: str = "vitl", metric: bool = False,
              checkpoint: str | None = None, video: str | None = None,
              n_frames: int = 40, input_size: int = 518,
-             download: bool = True, threshold: float = 0.99) -> dict:
+             download: bool = True, threshold: float = 0.99,
+             stream_int8: bool = False) -> dict:
     import torch
 
     from vda_tpu.utils.convert import convert_state_dict
@@ -164,9 +181,17 @@ def validate(encoder: str = "vitl", metric: bool = False,
     print(f"[validate] inter-pipeline delta1 min={result['delta1_min']:.4f} "
           f"mean={result['delta1_mean']:.4f} -> "
           f"{'OK' if result['ok'] else 'FAIL'}", flush=True)
+    if stream_int8:
+        d1q = run_stream_int8_check(params, encoder, frames, input_size)
+        result["stream_int8_delta1_min"] = min(d1q)
+        result["stream_int8_ok"] = min(d1q) >= threshold
+        print(f"[validate] int8-vs-bf16 streaming cache delta1 "
+              f"min={min(d1q):.4f} -> "
+              f"{'OK' if result['stream_int8_ok'] else 'FAIL'}", flush=True)
+        result["ok"] = result["ok"] and result["stream_int8_ok"]
     if not result["ok"]:
         raise SystemExit(
-            f"inter-pipeline delta1 {result['delta1_min']:.4f} < {threshold}")
+            f"validation failed: {result}")
     return result
 
 
@@ -182,9 +207,13 @@ def main():
     ap.add_argument("--input-size", type=int, default=518)
     ap.add_argument("--no-download", action="store_true")
     ap.add_argument("--threshold", type=float, default=0.99)
+    ap.add_argument("--stream-int8", action="store_true",
+                    help="also validate the int8 streaming cache "
+                         "(cache_dtype='int8') against the bf16 cache")
     a = ap.parse_args()
     validate(a.encoder, a.metric, a.checkpoint, a.video, a.frames,
-             a.input_size, download=not a.no_download, threshold=a.threshold)
+             a.input_size, download=not a.no_download, threshold=a.threshold,
+             stream_int8=a.stream_int8)
 
 
 if __name__ == "__main__":

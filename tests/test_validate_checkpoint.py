@@ -46,9 +46,12 @@ def test_validate_checkpoint_harness_end_to_end(tmp_path):
 
     result = V.validate(encoder="vits", checkpoint=str(ckpt),
                         n_frames=36, input_size=126, download=False,
-                        threshold=0.99)
+                        threshold=0.99, stream_int8=True)
     assert result["ok"]
     assert result["delta1_min"] >= 0.99
+    # the int8-vs-bf16 streaming-cache check ran and passed too
+    assert result["stream_int8_ok"]
+    assert result["stream_int8_delta1_min"] >= 0.99
 
 
 @requires_torch
