@@ -392,6 +392,26 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
         result["stream_direct_check"] = {
             "max_rel": round(max_rel, 5), "ok": bool(max_rel < 1e-2)}
 
+    # int8 per-row-quantized KV cache (opt-in default via VDA_STREAM_KV8;
+    # StreamingDepth(cache_dtype="int8")): halves the 1.27 GB cache and its
+    # per-step assembly read.  Measured r3: 18.84 vs 19.36 ms/frame.  Report
+    # it as an extra row whenever the primary measurement ran bf16, so the
+    # round artifact always carries both numbers.
+    if (cache_dtype == "bf16"
+            and os.environ.get("VDA_BENCH_STREAM_INT8", "1") == "1"):
+        q = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
+                           cache_dtype="int8")
+        for _ in range(n_warm):
+            d = q.submit(frame)
+        np.asarray(d[:1, :1])
+        t0 = _time.perf_counter()
+        for _ in range(n_meas):
+            d = q.submit(frame)
+        np.asarray(d[:1, :1])
+        qms = (_time.perf_counter() - t0) * 1000.0 / n_meas
+        result["stream_int8_ms_per_frame"] = round(qms, 3)
+        result["stream_int8_fps"] = round(1000.0 / qms, 1)
+
     k = int(os.environ.get("VDA_BENCH_STREAM_GROUP", "4"))
     if k > 1:
         group = jnp.asarray(np.full((k, size, size, 3), 128, np.uint8))
