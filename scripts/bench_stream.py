@@ -122,9 +122,9 @@ def main():
     if "rstep" in stages:
         # in-graph cost of the steady-state RING step (_stream_step_ring:
         # three-slice context assembly).  Same DCE/CSE harness as "step".
-        from vda_tpu.infer.streaming import (
+        from vda_tpu.infer.streaming import _pad_rows
+        from vda_tpu.infer.streaming_experimental import (
             _BUF_ROWS_RING,
-            _pad_rows,
             _stream_step_ring,
         )
         shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
@@ -160,9 +160,8 @@ def main():
         # in-graph cost of the steady-state DIRECT step (_stream_step_direct:
         # in-place ring-buffer attention, no context assembly).  Same
         # DCE/CSE-defeating harness as "step".
-        from vda_tpu.infer.streaming import (
-            _BUF_ROWS,
-            _pad_rows,
+        from vda_tpu.infer.streaming import _BUF_ROWS, _pad_rows
+        from vda_tpu.infer.streaming_experimental import (
             _pos_map,
             _stream_step_direct,
         )
@@ -303,7 +302,8 @@ def main():
 
     if "rasm" in stages:
         # three-slice ring context assembly (streaming._stream_step_ring)
-        from vda_tpu.infer.streaming import _BUF_ROWS_RING, _CTX
+        from vda_tpu.infer.streaming import _CTX
+        from vda_tpu.infer.streaming_experimental import _BUF_ROWS_RING
 
         shapes = [(1369, 1024), (361, 1024), (1369, 256), (5476, 256)]
         bufs = []

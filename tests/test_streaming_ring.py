@@ -1,6 +1,6 @@
 """Ring-slice streaming context assembly vs the one-hot path.
 
-The steady-state streaming step (infer/streaming._stream_step_ring) reads
+The steady-state streaming step (infer/streaming_experimental._stream_step_ring) reads
 the 31-entry context with three static-size dynamic slices — possible
 because entry ids map to buffer rows deterministically (_row) and rows
 45..72 mirror ring rows 1..28, so the 29 consecutive recent entries are one
@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 import vda_tpu.infer.streaming as S
+import vda_tpu.infer.streaming_experimental as SE
 from vda_tpu.config import get_config
 from vda_tpu.infer import StreamingDepth
 from vda_tpu.models import init_video_depth_anything
@@ -45,7 +46,7 @@ def test_ring_engages_and_matches_onehot(tiny, monkeypatch):
 
     ref_stream = StreamingDepth(params, cfg, input_size=56, ring=True)
     calls = {"ring": 0}
-    orig = S._stream_step_ring
+    orig = SE._stream_step_ring
 
     def spy(*a, **kw):
         calls["ring"] += 1
@@ -54,11 +55,11 @@ def test_ring_engages_and_matches_onehot(tiny, monkeypatch):
     with monkeypatch.context() as m:
         # force the one-hot path everywhere for the reference stream (same
         # ring buffer layout, so the cache buffers stay comparable)
-        m.setattr(S, "_ring_ok", lambda ctx: False)
+        m.setattr(SE, "_ring_ok", lambda ctx: False)
         ref = np.stack([np.asarray(ref_stream.submit(f)) for f in frames])
 
     out_stream = StreamingDepth(params, cfg, input_size=56, ring=True)
-    monkeypatch.setattr(S, "_stream_step_ring", spy)
+    monkeypatch.setattr(SE, "_stream_step_ring", spy)
     out = np.stack([np.asarray(out_stream.submit(f)) for f in frames])
 
     # the ring path must engage once the warmup replication drains (~step 30)
@@ -91,10 +92,10 @@ def test_ring_placement_long_run_no_collision():
     for step in range(1, 500):
         ctx, new_id = S._advance_bookkeeping(step, order, free)
         assert new_id == step
-        if S._ring_ok(ctx):
+        if SE._ring_ok(ctx):
             start = S._row(ctx[2])
             assert 1 <= start <= S._RING
-            assert start + (S._CTX - 2) - 1 < S._BUF_ROWS_RING
+            assert start + (S._CTX - 2) - 1 < SE._BUF_ROWS_RING
             # the window rows must BE the recent entries' rows, in order
             rows = [S._row(i) for i in ctx[2:]]
             expect = [start + j for j in range(S._CTX - 2)]
@@ -109,8 +110,8 @@ def test_ring_write_positions_cover_mirror():
     seen = set()
     for entry_id in range(1, 120):
         p = S._row(entry_id)
-        m = S._mirror_row(p)
-        if 1 <= p <= S._MIRROR:
+        m = SE._mirror_row(p)
+        if 1 <= p <= SE._MIRROR:
             assert m == p + S._RING
         else:
             assert m == p

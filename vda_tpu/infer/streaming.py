@@ -16,27 +16,22 @@ to the direct kernel's tile).  Entry ids map to rows DETERMINISTICALLY
 (``_row``: anchor id 0 -> row 0, id k -> ring row 1 + (k-1) % 44).  Every
 step runs one jitted function with fully static shapes and the new cache
 row is written with ``.at[:, pos].set``; no retracing, no growing Python
-lists of device arrays.  Step flavors:
+lists of device arrays.
 
-  * default (``_stream_step``): the 31-entry context is materialized with a
-    one-hot contraction over the 45 buffer rows and fed to the standard
-    KV-cache attention; the new rows are committed by a separate write-only
-    dispatch (``_write_step``).  This also expresses the warmup, where the
-    reference's replication trick maps the anchor row into MANY context
-    positions.  MEASURED fastest e2e (19.36 ms/frame vitl 518² on one
-    v5e): extra ``.at[].set`` passes and oversized buffers each cost
-    full-buffer passes, so the lean 45-row single-write layout beats both
-    alternatives below,
-  * opt-in (``_stream_step_ring``, StreamingDepth(ring=True) /
-    VDA_STREAM_RING=1): mirror rows 45..72 make the 29 recent entries one
-    contiguous window, read with three static-size dynamic slices.  Wins
-    ~2.8 ms on the read at equal layout but pays ~6 ms for the layout
-    (bigger buffers + dual write) — see its docstring for the measured
-    ladder; net loss, kept for a future in-place-update toolchain,
-  * opt-in (``_stream_step_direct``, VDA_STREAM_DIRECT=1): temporal
-    attention reads the ring buffers IN PLACE via a fused Pallas kernel
-    (ops/pallas_stream) — MEASURED SLOWER than the assembly it replaces
-    (25.2 vs 21.05 ms/frame r3); kept for future toolchains.
+The default step (``_stream_step``) materializes the 31-entry context with a
+one-hot contraction over the 45 buffer rows and feeds it to the standard
+KV-cache attention; the new rows are committed by a separate write-only
+dispatch (``_write_step``).  This also expresses the warmup, where the
+reference's replication trick maps the anchor row into MANY context
+positions.  MEASURED fastest e2e (19.36 ms/frame vitl 518² on one v5e):
+extra ``.at[].set`` passes and oversized buffers each cost full-buffer
+passes, so the lean 45-row single-write layout beats every alternative
+tried.  Two alternative step flavors — a mirrored-ring slice-read layout and
+a fused Pallas in-place buffer attention — are MEASURED NET LOSSES on this
+hardware and live in ``vda_tpu/infer/streaming_experimental.py`` (opt-in via
+StreamingDepth(ring=True) / VDA_STREAM_RING=1 / VDA_STREAM_DIRECT=1, which
+transparently construct the experimental subclass); see that module's
+docstrings for the measured ladders.
 """
 
 from __future__ import annotations
@@ -69,31 +64,17 @@ _CTX = INFER_LEN - 1  # 31 context entries
 # the new row written BEFORE the eviction (reference appends at :153 and
 # deletes at :159), so _RING=44 leaves a safety margin of 1: row(id) last
 # held id-44, evicted when order[1] passed id-41 (checked live by an assert
-# in _advance_bookkeeping).  In the OPT-IN ring layout, rows _ONE_HOT
-# (45)..72 MIRROR ring rows 1..28 (the write lands twice, see _write_row) so
-# the 29 most-recent context entries — consecutive ids in steady state — are
-# ONE contiguous row window readable with a static-size dynamic slice.
-# One-hot consumers (the default flavor, group mode) read buf[:, :_ONE_HOT].
+# in _advance_bookkeeping).  Default layout: _ONE_HOT = 45 rows, ONE buffer
+# write per step (committed by the write-only _write_step dispatch).  The
+# experimental ring layout appends mirror rows — see streaming_experimental.
 _RING = STREAM_MAX_CACHE + 2
-_MIRROR = INFER_LEN - 4  # ring rows 1.._MIRROR get a +_RING twin (ring layout)
 _ONE_HOT = _RING + 1
-# Default layout: 45 rows, ONE buffer write per step (committed by the
-# write-only _write_step dispatch).  The opt-in ring layout
-# (StreamingDepth(ring=True) / VDA_STREAM_RING=1) appends _MIRROR mirror rows
-# so the steady-state context is readable with three static slices —
-# MEASURED NET LOSS on-chip in both write regimes (see _stream_step_ring).
 _BUF_ROWS = _ONE_HOT
-_BUF_ROWS_RING = _ONE_HOT + _MIRROR
 
 
 def _row(entry_id: int) -> int:
     """Physical buffer row of a logical cache entry (0-based frame id)."""
     return 0 if entry_id == 0 else 1 + (entry_id - 1) % _RING
-
-
-def _mirror_row(p: int) -> int:
-    """Second write position for ring row ``p`` (== p when no mirror)."""
-    return p + _RING if 1 <= p <= _MIRROR else p
 
 
 def _pad_rows(n: int) -> int:
@@ -117,7 +98,8 @@ def _to_out_depth(depth, out_hw):
 
 def _write_row(buf, nc, write_pos, mirror_pos):
     """Write a new (BHW, 1, C) cache row into the (BHW_pad, ROWS, C) buffer
-    at ``write_pos`` — and, in the ring layout, at ``mirror_pos`` too.
+    at ``write_pos`` — and, in the experimental ring layout, at
+    ``mirror_pos`` too.
 
     mirror_pos is None in the default layout: a second ``.at[].set`` in a
     program that also READS the buffers costs a full-buffer pass through
@@ -173,10 +155,11 @@ def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl", "cache_kind"))
+                                             "attn_impl", "cache_kind",
+                                             "sel_rows"))
 def _stream_step(params, frame_u8, buffers, scales, ctx_idx,
                  cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
-                 cache_kind):
+                 cache_kind, sel_rows: int = _ONE_HOT):
     """One causal step (one-hot context assembly — the default flavor).
 
     READ-ONLY on the buffers: returns (depth, new_caches) and the caller
@@ -193,27 +176,28 @@ def _stream_step(params, frame_u8, buffers, scales, ctx_idx,
     by its scale, so only HALF the cache bytes stream from HBM.
     ctx_idx: int32 (31,) rows forming the KV context (oldest..newest); may
     repeat rows (the warmup replication trick), which only this flavor can
-    express.  Rows are always < _ONE_HOT (one-hot never selects mirrors).
+    express.  Rows are always < sel_rows (the selection width: _ONE_HOT for
+    the default layout; the experimental sliding layout widens it).
     """
     x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
     feats = forward_features(params, x, cfg, attn_impl)
     # context assembly as a one-hot contraction, NOT a gather: XLA lowers
     # jnp.take along a middle axis to a scalar gather loop on TPU (measured
-    # ~80 ms/step for the 8 buffers); the (31, _ONE_HOT) one-hot matmul reads
+    # ~80 ms/step for the 8 buffers); the (31, sel_rows) one-hot matmul reads
     # the anchor+ring rows once at full HBM bandwidth and rides the MXU.
-    sel = jax.nn.one_hot(ctx_idx, _ONE_HOT, dtype=dtype)  # (31, rows)
+    sel = jax.nn.one_hot(ctx_idx, sel_rows, dtype=dtype)  # (31, rows)
 
     if scales is None:
         def ctx(buf):
             return jnp.einsum("rt,btc->brc", sel,
-                              buf[:, :_ONE_HOT].astype(dtype))
+                              buf[:, :sel_rows].astype(dtype))
     else:
-        sel32 = jax.nn.one_hot(ctx_idx, _ONE_HOT, dtype=jnp.float32)
+        sel32 = jax.nn.one_hot(ctx_idx, sel_rows, dtype=jnp.float32)
 
         def ctx(buf, sc):
             c = jnp.einsum("rt,btc->brc", sel,
-                           buf[:, :_ONE_HOT].astype(dtype))
-            s = (sel32 @ sc[:_ONE_HOT]).astype(dtype)  # (31,) per-position
+                           buf[:, :sel_rows].astype(dtype))
+            s = (sel32 @ sc[:sel_rows]).astype(dtype)  # (31,) per-position
             return c * s[None, :, None]
 
     if scales is None:
@@ -262,87 +246,13 @@ def _write_step_q8(buffers, scales, new_caches, write_pos):
             jax.tree_util.tree_unflatten(treedef, out_s))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
-                                             "attn_impl", "cache_kind"))
-def _stream_step_ring(params, frame_u8, buffers, a1_row, run_start,
-                      cfg: ModelConfig, net_hw, out_hw, dtype,
-                      attn_impl, cache_kind):
-    """Steady-state step: the context is read with three static-size slices.
-
-    Engages once the 29 most-recent context entries are CONSECUTIVE ids
-    (every step after the warmup replication drains) — their ring rows are
-    then one contiguous window [run_start, run_start+29) thanks to the
-    mirror region, and the context becomes
-
-        [row 0 (anchor), row a1_row (order[1]), window]
-
-    reading exactly 31 rows per buffer instead of one-hot-contracting all
-    _ONE_HOT rows (~0.4 GB/step less HBM read at vitl 518², plus no
-    (31, rows) select matmul).  Identical math to ``_stream_step`` with the
-    same ctx — concatenation of the same rows in the same order.
-
-    MEASURED NET LOSS on-chip (r3 same-session ladder, vitl 518²):
-    19.22 ms/frame one-hot on the default 45-row single-write layout vs
-    21.20 (45 rows + idempotent dual write) vs 22.44 (this path, 73 rows)
-    vs 25.22 (one-hot over 73 rows) — and still 21.83 vs 19.36 after the
-    write-dispatch split moved both layouts' writes into the in-place
-    ``_write_step``.  The slice read does win ~2.8 ms over one-hot AT EQUAL
-    LAYOUT, but the layout it needs (1.27->2.06 GB buffers, dual write)
-    costs more in every regime measured.  Opt-in via
-    StreamingDepth(ring=True); kept as a measured result.
-    """
-    x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
-    feats = forward_features(params, x, cfg, attn_impl)
-
-    def ctx(buf):
-        b = buf.astype(dtype)
-        return jnp.concatenate([
-            b[:, 0:1],
-            jax.lax.dynamic_slice_in_dim(b, a1_row, 1, axis=1),
-            jax.lax.dynamic_slice_in_dim(b, run_start, _CTX - 2, axis=1),
-        ], axis=1)
-
-    cache_list = jax.tree_util.tree_map(ctx, buffers)
-    depth, new_caches = forward_depth(params, feats, x.shape, cfg,
-                                      cached_hidden_state_list=cache_list,
-                                      cache_kind=cache_kind)
-    d = _to_out_depth(depth, out_hw)
-    return d, list(new_caches)
-
-
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw",
-                                             "dtype", "attn_impl"))
-def _stream_step_direct(params, frame_u8, buffers, pos_map, valid,
-                        cfg: ModelConfig, net_hw, out_hw, dtype,
-                        attn_impl):
-    """Steady-state step: temporal attention reads the ring buffers in place.
-
-    No context assembly: ``pos_map`` ((_BUF_ROWS,) int32) gives each buffer
-    row's logical context position and ``valid`` masks the 31 live rows; the
-    fused kernel (ops/pallas_stream via models/temporal
-    ``_temporal_attention_kv_direct``) applies selection, PE and softmax in
-    one pass over the buffers.  Requires every context entry to be a distinct
-    row (true once the anchor replication of the warmup has drained —
-    ``StreamingDepth.submit`` checks and falls back to ``_stream_step``).
-    """
-    x = preprocess_frames(frame_u8[None], net_hw, dtype=dtype)[None]
-    feats = forward_features(params, x, cfg, attn_impl)
-    cache_list = [(k, v, pos_map, valid) for k, v in buffers]
-    depth, new_caches = forward_depth(params, feats, x.shape, cfg,
-                                      cached_hidden_state_list=cache_list,
-                                      cache_kind="kv")
-    d = _to_out_depth(depth, out_hw)
-    return d, list(new_caches)
-
-
-def _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
-                mirror_pos, cfg: ModelConfig, net_hw, out_hw, dtype,
-                attn_impl, cache_kind, k: int, direct: bool):
+                                             "dtype", "attn_impl",
+                                             "cache_kind", "k"))
+def _stream_step_group(params, frames_u8, buffers, ctx_idx,
+                       cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
+                       cache_kind, k: int):
     """k causal steps in ONE dispatch: batch what causality allows.
-
-    Shared body of ``_stream_step_group`` (deferred-write one-hot mode) and
-    ``_stream_step_group_direct`` (opt-in Pallas in-place mode, donated
-    buffers + in-graph writes — the kernel must read the written rows).
 
     Frame j+1's temporal attention reads frame j's cache row, so the steps
     cannot simply be batched — but the dependency flows ONLY through the
@@ -357,13 +267,13 @@ def _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
          (dpt_head_temporal_tail: refinenets 2/1 + output convs at
          148²..518², ~2/3 of the head's cost, where batch-1 wastes the chip).
 
-    DEFERRED WRITES (one-hot mode): the buffers are never written in-graph.
-    Each in-group frame's context is assembled as TWO contractions — a
-    (31, _ONE_HOT) one-hot over the buffer rows (zero rows at positions that
-    refer to ids written earlier IN this group) plus a tiny (31, j) one-hot
-    over the held new rows of frames 0..j-1 — so the cross-frame dependency
-    flows through live values instead of buffer writes.  The k new rows are
-    returned stacked (leaves (BHW, k, C)) and committed by ``_write_step``.
+    DEFERRED WRITES: the buffers are never written in-graph.  Each in-group
+    frame's context is assembled as TWO contractions — a (31, _ONE_HOT)
+    one-hot over the buffer rows (zero rows at positions that refer to ids
+    written earlier IN this group) plus a tiny (31, j) one-hot over the held
+    new rows of frames 0..j-1 — so the cross-frame dependency flows through
+    live values instead of buffer writes.  The k new rows are returned
+    stacked (leaves (BHW, k, C)) and committed by ``_write_step``.
     MEASURED (r3, one v5e): the deferral moved group-4 only 23.6 -> 23.3
     ms/frame — the in-graph writes were NOT paying the isolated-harness
     copy; the remaining gap to sequential submits (19.4) is the serialized
@@ -374,12 +284,8 @@ def _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
     under fp32) because the encoder and the output tail run batched.
     Latency (up to k frames of buffering) trades for throughput.
 
-    ctx_idx (one-hot mode): (sel_buf (k, 31, _ONE_HOT) float, seljs — tuple
-    of k (31, j) float arrays).  In direct mode ctx_idx is the
-    ((k, rows) pos_map, (k, rows) valid) pair, writes stay in-graph (the
-    Pallas kernel reads the buffers), and the updated buffers are returned.
-    write_pos/mirror_pos: (k,) int32 (direct mode only; pass None
-    otherwise).
+    ctx_idx: (sel_buf (k, 31, _ONE_HOT) float, seljs — tuple of k (31, j)
+    float arrays).
     """
     from vda_tpu.models.dpt import (
         dpt_head_temporal_stage,
@@ -392,46 +298,33 @@ def _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
     nh, nw = x.shape[2], x.shape[3]
     patch_hw = (nh // cfg.vit.patch_size, nw // cfg.vit.patch_size)
 
+    sel_buf, seljs = ctx_idx
     stage_outs, stage_caches = [], []
     for j in range(k):
         feats_j = [(t[j:j + 1], None if c is None else c[j:j + 1])
                    for t, c in feats]
-        if direct:
-            # steady-state in-place buffer attention, see _stream_step_direct
-            pos_map, valid = ctx_idx
-            cache_list = [(kb, vb, pos_map[j], valid[j])
-                          for kb, vb in buffers]
-        else:
-            sel_buf, seljs = ctx_idx
-            sb = sel_buf[j].astype(dtype)
-            sj = seljs[j].astype(dtype)
-            n_prev = sj.shape[1]
+        sb = sel_buf[j].astype(dtype)
+        sj = seljs[j].astype(dtype)
+        n_prev = sj.shape[1]
 
-            def ctx(buf, *rows, sb=sb, sj=sj, n_prev=n_prev):
-                c = jnp.einsum("rt,btc->brc", sb,
-                               buf[:, :_ONE_HOT].astype(dtype))
-                if n_prev:
-                    # held rows are unpadded (BHW, 1, C); c carries the
-                    # buffers' padded BHW — inject into the live rows only
-                    pr = jnp.concatenate(
-                        [r.astype(dtype) for r in rows], axis=1)
-                    inj = jnp.einsum("rj,bjc->brc", sj, pr)
-                    c = c.at[:pr.shape[0]].add(inj)
-                return c
+        def ctx(buf, *rows, sb=sb, sj=sj, n_prev=n_prev):
+            c = jnp.einsum("rt,btc->brc", sb,
+                           buf[:, :_ONE_HOT].astype(dtype))
+            if n_prev:
+                # held rows are unpadded (BHW, 1, C); c carries the
+                # buffers' padded BHW — inject into the live rows only
+                pr = jnp.concatenate(
+                    [r.astype(dtype) for r in rows], axis=1)
+                inj = jnp.einsum("rj,bjc->brc", sj, pr)
+                c = c.at[:pr.shape[0]].add(inj)
+            return c
 
-            cache_list = jax.tree_util.tree_map(ctx, buffers, *stage_caches)
+        cache_list = jax.tree_util.tree_map(ctx, buffers, *stage_caches)
         stage_out, new_caches = dpt_head_temporal_stage(
             params["head"], feats_j, patch_hw, 1, cfg,
             cached_hidden_state_list=cache_list, cache_kind=cache_kind)
         stage_outs.append(stage_out)
-        if direct:
-            wp = write_pos[j]
-            mp = None if mirror_pos is None else mirror_pos[j]
-            buffers = jax.tree_util.tree_map(
-                lambda buf, nc, wp=wp, mp=mp: _write_row(buf, nc, wp, mp),
-                buffers, list(new_caches))
-        else:
-            stage_caches.append(list(new_caches))
+        stage_caches.append(list(new_caches))
 
     batched = tuple(jnp.concatenate([s[i] for s in stage_outs])
                     for i in range(3))
@@ -441,54 +334,9 @@ def _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
     depth = jax.nn.relu(depth)
     depths = resize_bilinear(depth.astype(jnp.float32), out_hw,
                              align_corners=True)[..., 0]
-    if direct:
-        return depths, buffers
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=1), *stage_caches)
     return depths, stacked
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw",
-                                             "dtype", "attn_impl",
-                                             "cache_kind", "k"))
-def _stream_step_group(params, frames_u8, buffers, ctx_idx,
-                       cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
-                       cache_kind, k: int):
-    """Deferred-write group step: read-only on the buffers (no donation
-    needed), returns (depths, stacked new rows) — see ``_group_body``."""
-    return _group_body(params, frames_u8, buffers, ctx_idx, None, None,
-                       cfg, net_hw, out_hw, dtype, attn_impl, cache_kind,
-                       k, direct=False)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw",
-                                             "dtype", "attn_impl",
-                                             "cache_kind", "k"),
-                   donate_argnums=(2,))
-def _stream_step_group_direct(params, frames_u8, buffers, ctx_idx, write_pos,
-                              mirror_pos, cfg: ModelConfig, net_hw, out_hw,
-                              dtype, attn_impl, cache_kind, k: int):
-    """Direct-kernel group step: the Pallas attention reads the ring buffers
-    in place, so the in-group writes must land in-graph and the buffers are
-    DONATED (in-place update, no full copy) — see ``_group_body``."""
-    return _group_body(params, frames_u8, buffers, ctx_idx, write_pos,
-                       mirror_pos, cfg, net_hw, out_hw, dtype, attn_impl,
-                       cache_kind, k, direct=True)
-
-
-def _pos_map(ctx: List[int], rows: int = _BUF_ROWS):
-    """Row -> logical-context-position table for the direct kernel.
-
-    ctx: 31 DISTINCT buffer rows in context order; rows: the buffer's row
-    count (layout-dependent).  Returns (pos_map (rows,) int32, valid (rows,)
-    bool): pos_map[r] is the context position of row r (arbitrary where
-    valid[r] is False)."""
-    pos_map = np.zeros((rows,), np.int32)
-    valid = np.zeros((rows,), np.bool_)
-    for i, r in enumerate(ctx):
-        pos_map[r] = i
-        valid[r] = True
-    return pos_map, valid
 
 
 def _advance_bookkeeping(step_id: int, order: List[int], free: List[int]):
@@ -529,19 +377,32 @@ def _evict(step_id: int, order: List[int], free: List[int]):
         order.pop(1)
 
 
-def _ring_ok(ctx: List[int]) -> bool:
-    """True when the context can be read with the three-slice ring layout:
-    entry 0 is the immortal anchor and the 29 recent entries are CONSECUTIVE
-    ids >= 1 (their ring rows are then one contiguous row window).  False
-    during warmup while replicated id-0 entries remain in the recent set."""
-    recent = ctx[2:]
-    return (ctx[0] == 0 and recent[0] >= 1
-            and all(b - a == 1 for a, b in zip(recent, recent[1:])))
-
-
 class StreamingDepth:
     """Stateful frame-by-frame depth estimator (reference
     video_depth_stream.py:32-161 ``infer_video_depth_one``)."""
+
+    def __new__(cls, params, cfg: ModelConfig, input_size: int = 518,
+                fp32: bool = False, attn_impl: str = "auto",
+                cache_kind: str = "kv", ring: Optional[bool] = None,
+                cache_dtype: str = "bf16"):
+        # the experimental flavors (mirrored-ring slice reads, fused in-place
+        # Pallas buffer attention) are measured net losses on this hardware
+        # and live in their own module; requesting them transparently
+        # constructs the subclass so the opt-in API/env surface is unchanged
+        ring_on = (os.environ.get("VDA_STREAM_RING", "0") == "1"
+                   if ring is None else ring)
+        direct_on = os.environ.get("VDA_STREAM_DIRECT", "0") == "1"
+        slide_on = os.environ.get("VDA_STREAM_SLIDE", "0") == "1"
+        if cls is StreamingDepth and (ring_on or direct_on or slide_on):
+            from vda_tpu.infer.streaming_experimental import (
+                ExperimentalStreamingDepth,
+                SlidingStreamingDepth,
+            )
+            return super().__new__(
+                SlidingStreamingDepth if slide_on and not (ring_on or
+                                                           direct_on)
+                else ExperimentalStreamingDepth)
+        return super().__new__(cls)
 
     def __init__(self, params, cfg: ModelConfig, input_size: int = 518,
                  fp32: bool = False, attn_impl: str = "auto",
@@ -553,10 +414,9 @@ class StreamingDepth:
         hidden states exactly like the reference (video_depth_stream.py:
         134-140).  Outputs agree to ~1 bf16 ulp (tests/test_streaming_kv.py).
 
-        ring: opt-in mirrored ring-buffer layout whose steady-state step
-        reads the context with three static slices (``_stream_step_ring``) —
-        bit-exact, but a MEASURED net loss on-chip (see that docstring), so
-        the default (None -> VDA_STREAM_RING env, else off) stays one-hot.
+        ring: opt-in mirrored ring-buffer layout (streaming_experimental) —
+        bit-exact, but a MEASURED net loss on-chip, so the default
+        (None -> VDA_STREAM_RING env, else off) stays one-hot.
 
         cache_dtype: "bf16" (default, lossless) or "int8" — per-row
         symmetric quantization of the cache rows (``_write_step_q8``),
@@ -581,8 +441,23 @@ class StreamingDepth:
         if cache_dtype == "int8" and self.ring:
             raise ValueError("cache_dtype='int8' does not support the ring "
                              "layout (a measured dead end anyway)")
-        self.rows = _BUF_ROWS_RING if self.ring else _BUF_ROWS
+        self.rows = self._buf_rows()
         self.reset()
+
+    def _buf_rows(self) -> int:
+        """Physical rows per cache buffer (the experimental ring layout
+        appends mirror rows)."""
+        return _BUF_ROWS
+
+    def _row_of(self, entry_id: int) -> int:
+        """Physical buffer row of a logical cache entry (layout hook: the
+        experimental sliding layout maps ids to append-cursor positions)."""
+        return _row(entry_id)
+
+    def _sel_rows(self) -> int:
+        """One-hot selection width of ``_stream_step`` (== rows the one-hot
+        contraction reads per buffer)."""
+        return _ONE_HOT
 
     def reset(self):
         self.id = -1
@@ -654,62 +529,67 @@ class StreamingDepth:
         # a failed trace/compile must not advance order/free past the buffers
         order, free = list(self.order), list(self.free)
         ctx, new_id = _advance_bookkeeping(step_id, order, free)
-        write_pos = _row(new_id)
-        mirror_pos = (jnp.asarray([_mirror_row(write_pos)], jnp.int32)
-                      if self.ring else None)
-        ctx_rows = [_row(i) for i in ctx]
-        if self.cache_dtype == "bf16" and self._direct_ok(ctx_rows):
-            pos_map, valid = _pos_map(ctx_rows, self.rows)
-            depth, new_caches = _stream_step_direct(
-                self.params, jnp.asarray(frame), self.buffers,
-                jnp.asarray(pos_map), jnp.asarray(valid), self.cfg,
-                self.net_hw, self.out_hw, self.dtype, self.attn_impl)
-        elif self.cache_dtype == "bf16" and self.ring and _ring_ok(ctx):
-            depth, new_caches = _stream_step_ring(
-                self.params, jnp.asarray(frame), self.buffers,
-                jnp.int32(ctx_rows[1]), jnp.int32(ctx_rows[2]), self.cfg,
-                self.net_hw, self.out_hw, self.dtype, self.attn_impl,
-                self.cache_kind)
-        else:
-            depth, new_caches = _stream_step(
-                self.params, jnp.asarray(frame), self.buffers,
-                self.scales if self.cache_dtype == "int8" else None,
-                jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
-                self.out_hw, self.dtype, self.attn_impl, self.cache_kind)
+        write_pos = self._row_of(new_id)
+        depth, new_caches = self._step(frame, ctx,
+                                       [self._row_of(i) for i in ctx])
         # commit the new rows in a SECOND, write-only dispatch: in-place
         # under any layout and overlapped with the next step (_write_step)
+        self._commit(new_caches, write_pos)
+        self.id, self.order, self.free = step_id, order, free
+        return depth
+
+    def _step(self, frame, ctx: List[int], ctx_rows: List[int]):
+        """One step's model dispatch: (depth, new cache rows).  The
+        experimental subclass overrides this to try its flavors first."""
+        return _stream_step(
+            self.params, jnp.asarray(frame), self.buffers,
+            self.scales if self.cache_dtype == "int8" else None,
+            jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
+            self.out_hw, self.dtype, self.attn_impl, self.cache_kind,
+            sel_rows=self._sel_rows())
+
+    def _commit(self, new_caches, write_pos: int):
+        """Commit the returned cache rows (write-only donated dispatch)."""
         wp = jnp.asarray([write_pos], jnp.int32)
         if self.cache_dtype == "int8":
             self.buffers, self.scales = _write_step_q8(
                 self.buffers, self.scales, new_caches, wp)
         else:
-            self.buffers = _write_step(self.buffers, new_caches, wp,
-                                       mirror_pos)
-        self.id, self.order, self.free = step_id, order, free
-        return depth
+            self.buffers = _write_step(self.buffers, new_caches, wp, None)
 
-    def _direct_ok(self, *ctxs) -> bool:
-        """Steady-state in-place buffer attention is usable when every context
-        entry is a DISTINCT buffer row (during warmup the anchor row fills
-        multiple positions — the reference replication trick — which only the
-        assembly path can express), the cache holds kv projections, PE is
-        additive (APE), and the Pallas kernel can run."""
-        import os
+    def _simulate_group(self, k: int):
+        """Replay k steps of bookkeeping on COPIES (committed by the caller
+        only after the dispatch succeeds — a failed compile/trace must not
+        leave the stream with advanced order/free but unwritten buffers)."""
+        sim_id, order, free = self.id, list(self.order), list(self.free)
+        ctx_ids, ctx_rows, write_rows, group_ids = [], [], [], []
+        for _ in range(k):
+            sim_id += 1
+            ctx, new_id = _advance_bookkeeping(sim_id, order, free)
+            ctx_ids.append(list(ctx))
+            ctx_rows.append([self._row_of(i) for i in ctx])
+            write_rows.append(self._row_of(new_id))
+            group_ids.append(new_id)
+        return sim_id, order, free, ctx_ids, ctx_rows, write_rows, group_ids
 
-        from vda_tpu.models.temporal import _on_tpu_or_interpret
-
-        if os.environ.get("VDA_STREAM_DIRECT", "0") != "1":
-            # MEASURED (r3, on-chip): the direct kernel compiles, matches the
-            # assembly path bit-exactly (max_rel 0.0), and LOSES — 25.2 vs
-            # 21.05 ms/frame steady-state.  Reading all _BUF_ROWS rows of
-            # every buffer inside the kernel costs more than the one-hot
-            # contraction it replaces, so the assembly path stays the
-            # default and the kernel remains opt-in for future toolchains.
-            return False
-        return (self.cache_kind == "kv" and self.cfg.pe == "ape"
-                and not self.cfg.tp_layout
-                and all(len(set(c)) == len(c) for c in ctxs)
-                and _on_tpu_or_interpret())
+    @staticmethod
+    def _group_selectors(k, ctx_ids, ctx_rows, group_ids):
+        """Deferred-write context selectors: split each frame's context into
+        a buffer one-hot (zeroed at in-group positions) + a tiny one-hot over
+        the earlier in-group frames' held rows."""
+        pos_of = {gid: i for i, gid in enumerate(group_ids)}
+        sel_buf = np.zeros((k, _CTX, _ONE_HOT), np.float32)
+        seljs = []
+        for j in range(k):
+            selj = np.zeros((_CTX, j), np.float32)
+            for p, (cid, crow) in enumerate(zip(ctx_ids[j], ctx_rows[j])):
+                i = pos_of.get(cid)
+                if i is not None and i < j:
+                    selj[p, i] = 1.0
+                else:
+                    sel_buf[j, p, crow] = 1.0
+            seljs.append(selj)
+        return sel_buf, seljs
 
     def submit_group(self, frames: "np.ndarray") -> jax.Array:
         """Throughput mode: process k frames in ONE dispatch.
@@ -750,54 +630,17 @@ class StreamingDepth:
             # the grouped program has no int8 dequant path — sequential
             # submits preserve the protocol exactly (documented limitation)
             return jnp.stack([self.submit(f) for f in frames])
-        # simulate the k steps of bookkeeping on COPIES and commit only after
-        # the dispatch succeeds — a failed compile/trace must not leave the
-        # stream with advanced order/free but unwritten buffers
-        sim_id, order, free = self.id, list(self.order), list(self.free)
-        ctx_ids, ctx_rows, write_rows, mirror_rows = [], [], [], []
-        group_ids = []
-        for _ in range(k):
-            sim_id += 1
-            ctx, new_id = _advance_bookkeeping(sim_id, order, free)
-            ctx_ids.append(list(ctx))
-            ctx_rows.append([_row(i) for i in ctx])
-            write_rows.append(_row(new_id))
-            mirror_rows.append(_mirror_row(write_rows[-1]))
-            group_ids.append(new_id)
-        wp = jnp.asarray(write_rows, jnp.int32)
-        mp = jnp.asarray(mirror_rows, jnp.int32) if self.ring else None
-        if self._direct_ok(*ctx_rows):
-            maps = [_pos_map(c, self.rows) for c in ctx_rows]
-            sel = (jnp.asarray(np.stack([m for m, _ in maps])),
-                   jnp.asarray(np.stack([v for _, v in maps])))
-            depths, self.buffers = _stream_step_group_direct(
-                self.params, jnp.asarray(frames), self.buffers, sel, wp, mp,
-                self.cfg, self.net_hw, self.out_hw, self.dtype,
-                self.attn_impl, self.cache_kind, k)
-        else:
-            # deferred-write mode: split each frame's context selection into
-            # a buffer one-hot (zeroed at in-group positions) + a tiny
-            # one-hot over the earlier in-group frames' held rows
-            pos_of = {gid: i for i, gid in enumerate(group_ids)}
-            sel_buf = np.zeros((k, _CTX, _ONE_HOT), np.float32)
-            seljs = []
-            for j in range(k):
-                selj = np.zeros((_CTX, j), np.float32)
-                for p, (cid, crow) in enumerate(zip(ctx_ids[j],
-                                                    ctx_rows[j])):
-                    i = pos_of.get(cid)
-                    if i is not None and i < j:
-                        selj[p, i] = 1.0
-                    else:
-                        sel_buf[j, p, crow] = 1.0
-                seljs.append(selj)
-            depths, new_rows = _stream_step_group(
-                self.params, jnp.asarray(frames), self.buffers,
-                (jnp.asarray(sel_buf),
-                 tuple(jnp.asarray(s) for s in seljs)),
-                self.cfg, self.net_hw, self.out_hw, self.dtype,
-                self.attn_impl, self.cache_kind, k)
-            self.buffers = _write_step(self.buffers, new_rows, wp, mp)
+        (sim_id, order, free, ctx_ids, ctx_rows, write_rows,
+         group_ids) = self._simulate_group(k)
+        sel_buf, seljs = self._group_selectors(k, ctx_ids, ctx_rows,
+                                               group_ids)
+        depths, new_rows = _stream_step_group(
+            self.params, jnp.asarray(frames), self.buffers,
+            (jnp.asarray(sel_buf), tuple(jnp.asarray(s) for s in seljs)),
+            self.cfg, self.net_hw, self.out_hw, self.dtype,
+            self.attn_impl, self.cache_kind, k)
+        self.buffers = _write_step(self.buffers, new_rows,
+                                   jnp.asarray(write_rows, jnp.int32), None)
         self.id, self.order, self.free = sim_id, order, free
         return depths
 
