@@ -53,6 +53,34 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return parser
 
 
+DEFAULT_VIDEO = "./assets/example_videos/davis_rollercoaster.mp4"
+
+
+def _ensure_example_video(path: str) -> None:
+    """The repo ships no binary assets (reference run.py:24 assumes a checked
+    -in example clip).  When the user runs the literal default command on a
+    fresh clone, synthesize the example video instead of failing — same
+    generator as examples/make_test_video.py."""
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.argv, argv_prev = [sys.argv[0], path, "--frames", "64"], sys.argv
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "make_test_video",
+            os.path.join(here, "examples", "make_test_video.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        print(f"default example video was missing — generated a synthetic "
+              f"clip at {path}")
+    finally:
+        sys.argv = argv_prev
+
+
 def load_model(args):
     from vda_tpu.utils.loader import load_model_params
 
@@ -79,6 +107,8 @@ def main(argv=None):
         save_video,
     )
 
+    if args.input_video == DEFAULT_VIDEO:
+        _ensure_example_video(args.input_video)
     cfg, params = load_model(args)
     frames, target_fps = read_video_frames(
         args.input_video, args.max_len, args.target_fps, args.max_res)

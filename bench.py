@@ -348,6 +348,15 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
     stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
                             cache_dtype=cache_dtype)
     frame = jnp.asarray(np.full((size, size, 3), 128, np.uint8))
+
+    def measure_block(s, n):
+        dd = None
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            dd = s.submit(frame)
+        np.asarray(dd[:1, :1])
+        return (_time.perf_counter() - t0) * 1000.0 / n, dd
+
     # warmup: compiles _first_step + _stream_step and crosses the eviction
     # threshold so every measured step uses steady-state bookkeeping with its
     # compile landed in warmup, not mid-measurement.  The opt-in paths keep
@@ -358,16 +367,48 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
     for _ in range(n_warm):
         d = stream.submit(frame)
     np.asarray(d[:1, :1])
-    t0 = _time.perf_counter()
-    for _ in range(n_meas):
+
+    # int8 per-row-quantized KV cache (StreamingDepth(cache_dtype="int8")):
+    # halves the 1.27 GB cache and its per-step assembly read.  Measured as a
+    # SAME-PROCESS INTERLEAVED A/B against the bf16 default (VERDICT r3 #3:
+    # the r3 ledger's isolated 18.84-vs-19.36 win did not reproduce in the
+    # driver run, 19.43 vs 19.47) — alternating blocks cancel session-level
+    # drift, p50 of the per-arm blocks is reported.  Both caches are resident
+    # concurrently (~1.9 GB, fine on a 16 GB v5e at 518px; the A/B needs
+    # both).  Costs one extra StreamingDepth compile + n_warm+3*n_meas extra
+    # steps of bench wall time; set VDA_BENCH_STREAM_INT8=0 to skip.
+    ab_int8 = (cache_dtype == "bf16"
+               and os.environ.get("VDA_BENCH_STREAM_INT8", "1") == "1")
+    if ab_int8:
+        q = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
+                           cache_dtype="int8")
+        for _ in range(n_warm):
+            dq = q.submit(frame)
+        np.asarray(dq[:1, :1])
+        blocks, blocks_q = [], []
+        for _ in range(4):
+            blocks.append(measure_block(stream, max(n_meas // 2, 8))[0])
+            blocks_q.append(measure_block(q, max(n_meas // 2, 8))[0])
+        blocks.sort()
+        blocks_q.sort()
+        ms = blocks[len(blocks) // 2]
+        qms = blocks_q[len(blocks_q) // 2]
+        d = stream.submit(frame)  # keep `d` = latest bf16 depth for checks
+        del q
+    else:
+        blocks = [measure_block(stream, n_meas)[0] for _ in range(2)]
+        ms = sorted(blocks)[len(blocks) // 2]
         d = stream.submit(frame)
-    np.asarray(d[:1, :1])
-    wall = _time.perf_counter() - t0
-    ms = wall * 1000.0 / n_meas
+
     result = {
         "stream_ms_per_frame": round(ms, 3),
         "stream_fps": round(1000.0 / ms, 1),
     }
+    if ab_int8:
+        result["stream_int8_ms_per_frame"] = round(qms, 3)
+        result["stream_int8_fps"] = round(1000.0 / qms, 1)
+        result["stream_int8_blocks_ms"] = [round(b, 2) for b in blocks_q]
+        result["stream_bf16_blocks_ms"] = [round(b, 2) for b in blocks]
 
     # throughput mode: k frames per dispatch (batched encoder, exact same
     # outputs as sequential submits — infer/streaming.submit_group)
@@ -381,7 +422,7 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
         prev = os.environ["VDA_STREAM_DIRECT"]
         os.environ["VDA_STREAM_DIRECT"] = "0"  # read per-submit
         try:
-            for _ in range(n_warm + n_meas):  # same step count as `d`
+            for _ in range(stream.id + 1):  # same step count as `d`
                 dr = ref_stream.submit(frame)
         finally:
             os.environ["VDA_STREAM_DIRECT"] = prev
@@ -391,26 +432,6 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
         max_rel = float(np.abs(a - b).max() / denom)
         result["stream_direct_check"] = {
             "max_rel": round(max_rel, 5), "ok": bool(max_rel < 1e-2)}
-
-    # int8 per-row-quantized KV cache (opt-in default via VDA_STREAM_KV8;
-    # StreamingDepth(cache_dtype="int8")): halves the 1.27 GB cache and its
-    # per-step assembly read.  Measured r3: 18.84 vs 19.36 ms/frame.  Report
-    # it as an extra row whenever the primary measurement ran bf16, so the
-    # round artifact always carries both numbers.
-    if (cache_dtype == "bf16"
-            and os.environ.get("VDA_BENCH_STREAM_INT8", "1") == "1"):
-        q = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
-                           cache_dtype="int8")
-        for _ in range(n_warm):
-            d = q.submit(frame)
-        np.asarray(d[:1, :1])
-        t0 = _time.perf_counter()
-        for _ in range(n_meas):
-            d = q.submit(frame)
-        np.asarray(d[:1, :1])
-        qms = (_time.perf_counter() - t0) * 1000.0 / n_meas
-        result["stream_int8_ms_per_frame"] = round(qms, 3)
-        result["stream_int8_fps"] = round(1000.0 / qms, 1)
 
     k = int(os.environ.get("VDA_BENCH_STREAM_GROUP", "4"))
     if k > 1:
