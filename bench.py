@@ -368,15 +368,30 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
         d = stream.submit(frame)
     np.asarray(d[:1, :1])
 
+    # headline streaming number, bf16 cache ALONE resident — matching the
+    # r1-r3 artifact protocol so the cross-round series stays comparable
+    # (the int8 A/B below keeps a second cache live, which must not color
+    # the headline)
+    solo = [measure_block(stream, n_meas)[0] for _ in range(2)]
+    ms = sorted(solo)[len(solo) // 2]
+    result = {
+        "stream_ms_per_frame": round(ms, 3),
+        "stream_fps": round(1000.0 / ms, 1),
+    }
+
     # int8 per-row-quantized KV cache (StreamingDepth(cache_dtype="int8")):
     # halves the 1.27 GB cache and its per-step assembly read.  Measured as a
-    # SAME-PROCESS INTERLEAVED A/B against the bf16 default (VERDICT r3 #3:
-    # the r3 ledger's isolated 18.84-vs-19.36 win did not reproduce in the
-    # driver run, 19.43 vs 19.47) — alternating blocks cancel session-level
-    # drift, p50 of the per-arm blocks is reported.  Both caches are resident
-    # concurrently (~1.9 GB, fine on a 16 GB v5e at 518px; the A/B needs
-    # both).  Costs one extra StreamingDepth compile + n_warm+3*n_meas extra
-    # steps of bench wall time; set VDA_BENCH_STREAM_INT8=0 to skip.
+    # SAME-PROCESS INTERLEAVED A/B against the bf16 default — alternating
+    # blocks cancel session drift; the per-arm p50 DELTA is the robust
+    # signal, not either arm's wall time.  This settled the r3
+    # contradiction (ledger 18.84-vs-19.36 win, driver run "neutral"
+    # 19.43-vs-19.47): measured r4, every int8 block beat every bf16 block
+    # (bf16 20.76-21.12 vs int8 19.95-20.31, delta -0.72 ms/frame) — the
+    # driver's neutral readout was cross-session noise.  Promotion to
+    # default stays gated on real-checkpoint accuracy
+    # (scripts/validate_checkpoint.py --stream-int8).  Costs one extra
+    # StreamingDepth compile + ~n_warm+6*16 extra steps of bench wall time;
+    # set VDA_BENCH_STREAM_INT8=0 to skip.
     ab_int8 = (cache_dtype == "bf16"
                and os.environ.get("VDA_BENCH_STREAM_INT8", "1") == "1")
     if ab_int8:
@@ -386,29 +401,20 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
             dq = q.submit(frame)
         np.asarray(dq[:1, :1])
         blocks, blocks_q = [], []
-        for _ in range(4):
+        for _ in range(3):
             blocks.append(measure_block(stream, max(n_meas // 2, 8))[0])
             blocks_q.append(measure_block(q, max(n_meas // 2, 8))[0])
         blocks.sort()
         blocks_q.sort()
-        ms = blocks[len(blocks) // 2]
+        bms = blocks[len(blocks) // 2]
         qms = blocks_q[len(blocks_q) // 2]
-        d = stream.submit(frame)  # keep `d` = latest bf16 depth for checks
-        del q
-    else:
-        blocks = [measure_block(stream, n_meas)[0] for _ in range(2)]
-        ms = sorted(blocks)[len(blocks) // 2]
-        d = stream.submit(frame)
-
-    result = {
-        "stream_ms_per_frame": round(ms, 3),
-        "stream_fps": round(1000.0 / ms, 1),
-    }
-    if ab_int8:
         result["stream_int8_ms_per_frame"] = round(qms, 3)
         result["stream_int8_fps"] = round(1000.0 / qms, 1)
+        result["stream_int8_ab_delta_ms"] = round(qms - bms, 3)
         result["stream_int8_blocks_ms"] = [round(b, 2) for b in blocks_q]
         result["stream_bf16_blocks_ms"] = [round(b, 2) for b in blocks]
+        del q
+    d = stream.submit(frame)  # latest bf16 depth for the checks below
 
     # throughput mode: k frames per dispatch (batched encoder, exact same
     # outputs as sequential submits — infer/streaming.submit_group)

@@ -235,8 +235,18 @@ class SlidingStreamingDepth(StreamingDepth):
     replicated by the reference's first-frame trick) falls back to the
     one-hot step widened to the full buffer.
 
-    Opt-in via VDA_STREAM_SLIDE=1 (or constructing this class) until the
-    on-chip A/B lands; buffer cost is rows/45 x the default cache (2.8x at
+    MEASURED NET LOSS on-chip (r4 interleaved A/B, vitl 518², one v5e;
+    scripts/ab_stream_slide.py): p50 ms/frame default 20.45 vs slide 26.73
+    at rows=128, and 20.57 vs 25.28 at rows=56 — bit-exact output (max-abs
+    -diff 0.0) both times.  Only ~1.6 ms of the gap scales with buffer
+    size; the remaining ~4.7 ms is the three-dynamic-slice read itself,
+    which in the FULL program loses to the one-hot contraction it replaces
+    (dynamic-start slices on 16 buffers defeat the fusion/prefetch the
+    one-hot matmul form gets).  This also reframes the r3 ring ladder: the
+    "slice read wins 2.8 ms at equal layout" comparison had BOTH arms on
+    the degraded 73-row layout; against the production one-hot step the
+    slice read was never ahead.  Stays opt-in via VDA_STREAM_SLIDE=1 as a
+    measured result; buffer cost is rows/45 x the default cache (2.8x at
     the default 128 rows: ~3.6 GB at vitl 518²).  Excludes int8/ring/direct.
     """
 
