@@ -50,6 +50,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--window-batch", type=int, default=1,
                         help="independent windows per forward (throughput)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree on a multi-chip host: "
+                             "builds a ('data','model') mesh over all local "
+                             "devices with this model-axis size and shards "
+                             "the network head-aligned (infer/windowed.py); "
+                             "window fan-out fills the data axis")
     return parser
 
 
@@ -116,10 +122,30 @@ def main(argv=None):
     def progress(i, n):
         print(f"\rwindow {i}/{n}", end="", flush=True)
 
-    depths, fps = infer_video_depth(
-        params, frames, target_fps, cfg, input_size=args.input_size,
-        fp32=args.fp32, attn_impl=args.attn_impl,
-        window_batch=args.window_batch, progress=progress)
+    import jax
+
+    # devices of the platform inference actually runs on: honor an explicit
+    # jax_default_device pin (tests force CPU this way — the axon TPU plugin
+    # ignores JAX_PLATFORMS) before falling back to the default backend
+    pin = jax.config.jax_default_device  # a Device, platform str, or None
+    plat = pin if isinstance(pin, str) else getattr(pin, "platform", None)
+    devices = jax.devices(plat) if plat else jax.devices()
+    mesh = None
+    if args.tp > 1 or (args.window_batch > 1 and len(devices) > 1):
+        from vda_tpu.parallel.mesh import make_mesh
+
+        if len(devices) % max(args.tp, 1) != 0:
+            raise SystemExit(f"--tp {args.tp} does not divide the "
+                             f"{len(devices)} local devices")
+        mesh = make_mesh(tp=max(args.tp, 1), devices=devices)
+
+    import contextlib
+    with (jax.set_mesh(mesh) if mesh is not None
+          else contextlib.nullcontext()):
+        depths, fps = infer_video_depth(
+            params, frames, target_fps, cfg, input_size=args.input_size,
+            fp32=args.fp32, attn_impl=args.attn_impl,
+            window_batch=args.window_batch, progress=progress, mesh=mesh)
     print()
 
     video_name = os.path.basename(args.input_video)

@@ -57,6 +57,24 @@ def test_run_cli_full_outputs(tiny_loader, test_video, tmp_path):
     assert depths.shape == (40, 70, 90)
 
 
+def test_run_cli_tensor_parallel(tiny_loader, test_video, tmp_path):
+    """--tp 2 builds a ('data','model') mesh over the virtual devices and
+    must reproduce the single-device depths (infer/windowed.py tp path)."""
+    from apps.run import main
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("needs multiple virtual devices")
+    d1 = main([
+        "--input_video", test_video, "--output_dir", str(tmp_path / "a"),
+        "--encoder", "vits", "--input_size", "56", "--fp32",
+    ])
+    dtp = main([
+        "--input_video", test_video, "--output_dir", str(tmp_path / "b"),
+        "--encoder", "vits", "--input_size", "56", "--fp32", "--tp", "2",
+    ])
+    np.testing.assert_allclose(dtp, d1, rtol=1e-4, atol=1e-5)
+
+
 def test_run_cli_metric_point_clouds(tiny_loader, test_video, tmp_path):
     from apps.run import main
 

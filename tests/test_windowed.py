@@ -99,3 +99,24 @@ def test_window_mesh_fanout_matches(tiny_setup, tiny_cfg):
         d4, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
                                   fp32=True, window_batch=4, mesh=mesh)
     np.testing.assert_allclose(d4, d1, rtol=1e-4, atol=1e-5)
+
+
+def test_window_mesh_tensor_parallel_matches(tiny_setup, tiny_cfg):
+    """dp=2 x tp=2 inference: params sharded head-aligned over 'model',
+    windows over 'data' — output must match the single-device run (GSPMD
+    all-reduces differ from the fused single-chip matmuls only by fp32
+    reduction order)."""
+    from vda_tpu.parallel.mesh import make_mesh
+
+    params, frames = tiny_setup
+    devices = jax.devices("cpu")
+    if len(devices) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(n_devices=4, tp=2, devices=devices)
+    d1, _ = infer_video_depth(params, frames, 24, tiny_cfg, input_size=56,
+                              fp32=True, window_batch=1)
+    with jax.set_mesh(mesh):
+        dtp, _ = infer_video_depth(params, frames, 24, tiny_cfg,
+                                   input_size=56, fp32=True, window_batch=2,
+                                   mesh=mesh)
+    np.testing.assert_allclose(dtp, d1, rtol=1e-4, atol=1e-5)

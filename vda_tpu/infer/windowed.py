@@ -116,6 +116,21 @@ def infer_video_depth(
     chip utilization; with ``mesh`` (a ('data','model') jax Mesh) the window
     batch is sharded over the data axis (set window_batch to a multiple of
     the data-parallel degree).
+
+    A mesh with a model axis > 1 additionally runs the network
+    TENSOR-PARALLEL: params are converted to the head-aligned TP layout
+    (parallel/mesh.to_tp_layout) and sharded by the Megatron rules in
+    parallel/mesh.param_shardings — each chip holds whole attention heads
+    and MLP hidden slices, GSPMD inserts the standard 2-collective
+    all-reduce pattern (asserted from compiled HLO in
+    tests/test_parallel_integration.py).  This is for latency (one window
+    spread over tp chips) and for fitting vitg-scale encoders in smaller
+    per-chip HBM; pure window fan-out (tp=1) is the throughput mode.
+    Under tp the attention kernels fall back to attn_impl="xla" (Pallas
+    kernels are single-chip programs GSPMD cannot partition) and the
+    decoder-tail scan chunking is disabled (chunking a sharded batch dim
+    would force per-chunk resharding — same rationale as
+    parallel/train.make_train_step).
     """
     n_frames, frame_h, frame_w = frames.shape[:3]
     size = effective_input_size(frame_h, frame_w, input_size)
@@ -129,11 +144,25 @@ def infer_video_depth(
     data_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from vda_tpu.parallel.mesh import DATA_AXIS
+        from vda_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            param_shardings,
+            to_tp_layout,
+        )
 
         data_sharding = NamedSharding(mesh, P(DATA_AXIS))
         dp = mesh.shape[DATA_AXIS]
         wb = -(-wb // dp) * dp  # window batch must fill the data axis
+        if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+            # tensor-parallel: head-aligned qkv shards + Megatron partition
+            # specs; XLA attention (Pallas kernels are not partitionable);
+            # full-batch decoder tail (no scan over the sharded window dim)
+            params = to_tp_layout(params)
+            cfg = cfg.replace(tp_layout=True)
+            attn_impl = "xla"
+            micro_batch_size = wb * INFER_LEN
+            params = jax.device_put(params, param_shardings(params, mesh))
 
     # Double-buffered dispatch: batch n+1 is enqueued BEFORE batch n's
     # device->host fetch, so transfer overlaps compute (JAX dispatch is
