@@ -35,6 +35,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="frames per dispatch (>1 = throughput mode: "
                              "batched encoder, identical outputs, up to "
                              "<lookahead> frames of added latency)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree on a multi-chip host: "
+                             "shard the per-frame network + kv cache over a "
+                             "('data','model') mesh for latency "
+                             "(infer/streaming.py StreamingDepth(mesh=...))")
     return parser
 
 
@@ -51,8 +56,23 @@ def main(argv=None):
     from vda_tpu.utils.io import ensure_even, save_video
 
     cfg, params = load_model(args)
+    mesh = None
+    if args.tp > 1:
+        import jax
+
+        from vda_tpu.parallel.mesh import make_mesh
+
+        pin = jax.config.jax_default_device
+        plat = pin if isinstance(pin, str) else getattr(pin, "platform", None)
+        devices = jax.devices(plat) if plat else jax.devices()
+        if len(devices) < args.tp:
+            raise SystemExit(f"--tp {args.tp} exceeds the "
+                             f"{len(devices)} local devices")
+        # a stream has no batch dim to fan out: use exactly tp chips
+        mesh = make_mesh(n_devices=args.tp, tp=args.tp, devices=devices)
     stream = StreamingDepth(params, cfg, input_size=args.input_size,
-                            fp32=args.fp32, attn_impl=args.attn_impl)
+                            fp32=args.fp32, attn_impl=args.attn_impl,
+                            mesh=mesh)
 
     cap = cv2.VideoCapture(args.input_video)
     if not cap.isOpened():

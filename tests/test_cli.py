@@ -106,3 +106,26 @@ def test_run_streaming_cli(tiny_cfg, test_video, tmp_path, monkeypatch):
     ])
     assert len(depths) == 6
     assert os.path.exists(os.path.join(out, "clip_vis.mp4"))
+
+
+def test_run_streaming_cli_tensor_parallel(tiny_cfg, test_video, tmp_path,
+                                           monkeypatch):
+    """--tp 2 streams through a 2-chip model-parallel mesh and must match
+    the single-device stream."""
+    if len(jax.devices("cpu")) < 2:
+        pytest.skip("needs multiple virtual devices")
+    params = init_video_depth_anything(jax.random.PRNGKey(3), tiny_cfg)
+
+    def fake_load(args):
+        return tiny_cfg, params
+
+    import apps.run as run_mod
+    monkeypatch.setattr(run_mod, "load_model", fake_load)
+    from apps.run_streaming import main
+
+    common = ["--input_video", test_video, "--encoder", "vits",
+              "--input_size", "56", "--max_len", "6", "--fp32"]
+    d1 = main(common + ["--output_dir", str(tmp_path / "a")])
+    dtp = main(common + ["--output_dir", str(tmp_path / "b"), "--tp", "2"])
+    np.testing.assert_allclose(np.asarray(dtp), np.asarray(d1),
+                               rtol=1e-4, atol=1e-5)

@@ -384,7 +384,7 @@ class StreamingDepth:
     def __new__(cls, params, cfg: ModelConfig, input_size: int = 518,
                 fp32: bool = False, attn_impl: str = "auto",
                 cache_kind: str = "kv", ring: Optional[bool] = None,
-                cache_dtype: str = "bf16"):
+                cache_dtype: str = "bf16", mesh=None):
         # the experimental flavors (mirrored-ring slice reads, fused in-place
         # Pallas buffer attention) are measured net losses on this hardware
         # and live in their own module; requesting them transparently
@@ -407,7 +407,7 @@ class StreamingDepth:
     def __init__(self, params, cfg: ModelConfig, input_size: int = 518,
                  fp32: bool = False, attn_impl: str = "auto",
                  cache_kind: str = "kv", ring: Optional[bool] = None,
-                 cache_dtype: str = "bf16"):
+                 cache_dtype: str = "bf16", mesh=None):
         """cache_kind: "kv" (default) caches pre-PE K/V projections and skips
         re-projecting the 31 context frames every step (~0.6 TFLOP/step at
         vitl, see models/temporal._temporal_attention_kv); "h" caches pre-PE
@@ -417,6 +417,10 @@ class StreamingDepth:
         ring: opt-in mirrored ring-buffer layout (streaming_experimental) —
         bit-exact, but a MEASURED net loss on-chip, so the default
         (None -> VDA_STREAM_RING env, else off) stays one-hot.
+
+        mesh: a ('data','model') jax Mesh with model axis > 1 runs the
+        stream TENSOR-PARALLEL (see the comment in __init__); the depth
+        handles come back replicated.  Single-chip when None (default).
 
         cache_dtype: "bf16" (default, lossless) or "int8" — per-row
         symmetric quantization of the cache rows (``_write_step_q8``),
@@ -429,6 +433,31 @@ class StreamingDepth:
         if cache_dtype not in ("bf16", "int8"):
             raise ValueError(f"cache_dtype must be bf16 or int8, "
                              f"got {cache_dtype!r}")
+        # mesh with a model axis > 1: TENSOR-PARALLEL streaming for latency —
+        # the batch-1 encoder (7.5-9 ms/frame at vitl, MXU-starved) and the
+        # cached head spread over tp chips.  Params go to the head-aligned TP
+        # layout + Megatron shardings (parallel/mesh, same recipe as the
+        # trainer and windowed driver); the kv cache buffers are sharded over
+        # their channel dim (whole temporal-attention heads per chip, so the
+        # context assembly and attention never reshard).  Pallas kernels are
+        # single-chip programs, so attention falls back to XLA.
+        self.mesh = None
+        if mesh is not None:
+            from vda_tpu.parallel.mesh import (
+                MODEL_AXIS,
+                param_shardings,
+                to_tp_layout,
+            )
+
+            if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+                if type(self) is not StreamingDepth:
+                    raise ValueError("experimental streaming flavors do not "
+                                     "support tensor parallelism")
+                params = to_tp_layout(params)
+                cfg = cfg.replace(tp_layout=True)
+                attn_impl = "xla"
+                params = jax.device_put(params, param_shardings(params, mesh))
+                self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.input_size = input_size
@@ -458,6 +487,39 @@ class StreamingDepth:
         """One-hot selection width of ``_stream_step`` (== rows the one-hot
         contraction reads per buffer)."""
         return _ONE_HOT
+
+    def _mesh_scope(self):
+        """Context manager making self.mesh the ambient mesh for dispatches
+        (no-op single-chip)."""
+        import contextlib
+
+        return (jax.set_mesh(self.mesh) if self.mesh is not None
+                else contextlib.nullcontext())
+
+    def _shard_cache(self, buffers):
+        """Pin the cache buffers' sharding under tensor parallelism.
+
+        kv-mode rows are (BHW_pad, rows, C) with C = heads x head_dim of the
+        temporal attention: sharding the channel dim puts whole heads per
+        chip, so the one-hot context assembly and the attention read only
+        local shards (the same head alignment as the weight shardings).
+        h-mode rows are pre-projection hidden states — a CONTRACTION input
+        of the sharded K/V projections — and stay replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vda_tpu.parallel.mesh import MODEL_AXIS
+
+        tp = dict(self.mesh.shape)[MODEL_AXIS]
+        heads = self.cfg.num_attention_heads
+
+        def shard(b):
+            if (self.cache_kind == "kv" and heads % tp == 0
+                    and b.shape[-1] % tp == 0):
+                return jax.device_put(
+                    b, NamedSharding(self.mesh, P(None, None, MODEL_AXIS)))
+            return jax.device_put(b, NamedSharding(self.mesh, P()))
+
+        return jax.tree_util.tree_map(shard, buffers)
 
     def reset(self):
         self.id = -1
@@ -491,9 +553,10 @@ class StreamingDepth:
             size = effective_input_size(h, w, self.input_size)
             net_hw = compute_resize_hw(h, w, size)  # committed after dispatch:
             out_hw = (h, w)   # a failed FIRST dispatch must leave net_hw None
-            depth, first_rows = _first_step(   # so a retry redoes this branch
-                self.params, jnp.asarray(frame), self.cfg, net_hw,
-                out_hw, self.dtype, self.attn_impl, self.cache_kind)
+            with self._mesh_scope():
+                depth, first_rows = _first_step(  # a retry redoes this branch
+                    self.params, jnp.asarray(frame), self.cfg, net_hw,
+                    out_hw, self.dtype, self.attn_impl, self.cache_kind)
 
             # replication trick (reference :118): the first frame's cache is
             # stored once; the first INFER_LEN logical entries all map to row 0
@@ -505,18 +568,24 @@ class StreamingDepth:
                 def make_sc(row):
                     return jnp.zeros((self.rows,), jnp.float32)
 
-                self.buffers, self.scales = _write_step_q8(
-                    jax.tree_util.tree_map(make_buf, first_rows),
-                    jax.tree_util.tree_map(make_sc, first_rows),
-                    jax.tree_util.tree_map(lambda r: r[:, None], first_rows),
-                    jnp.asarray([0], jnp.int32))
+                with self._mesh_scope():
+                    self.buffers, self.scales = _write_step_q8(
+                        jax.tree_util.tree_map(make_buf, first_rows),
+                        jax.tree_util.tree_map(make_sc, first_rows),
+                        jax.tree_util.tree_map(lambda r: r[:, None],
+                                               first_rows),
+                        jnp.asarray([0], jnp.int32))
             else:
                 def make_buf(row):
                     return (jnp.zeros((_pad_rows(row.shape[0]), self.rows,
                                        row.shape[1]), row.dtype)
                             .at[:row.shape[0], 0].set(row))
 
-                self.buffers = jax.tree_util.tree_map(make_buf, first_rows)
+                with self._mesh_scope():
+                    self.buffers = jax.tree_util.tree_map(make_buf,
+                                                          first_rows)
+            if self.mesh is not None:
+                self.buffers = self._shard_cache(self.buffers)
             self.net_hw, self.out_hw = net_hw, out_hw
             self.id = step_id
             self.order = [0] * INFER_LEN
@@ -541,21 +610,24 @@ class StreamingDepth:
     def _step(self, frame, ctx: List[int], ctx_rows: List[int]):
         """One step's model dispatch: (depth, new cache rows).  The
         experimental subclass overrides this to try its flavors first."""
-        return _stream_step(
-            self.params, jnp.asarray(frame), self.buffers,
-            self.scales if self.cache_dtype == "int8" else None,
-            jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
-            self.out_hw, self.dtype, self.attn_impl, self.cache_kind,
-            sel_rows=self._sel_rows())
+        with self._mesh_scope():
+            return _stream_step(
+                self.params, jnp.asarray(frame), self.buffers,
+                self.scales if self.cache_dtype == "int8" else None,
+                jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
+                self.out_hw, self.dtype, self.attn_impl, self.cache_kind,
+                sel_rows=self._sel_rows())
 
     def _commit(self, new_caches, write_pos: int):
         """Commit the returned cache rows (write-only donated dispatch)."""
         wp = jnp.asarray([write_pos], jnp.int32)
-        if self.cache_dtype == "int8":
-            self.buffers, self.scales = _write_step_q8(
-                self.buffers, self.scales, new_caches, wp)
-        else:
-            self.buffers = _write_step(self.buffers, new_caches, wp, None)
+        with self._mesh_scope():
+            if self.cache_dtype == "int8":
+                self.buffers, self.scales = _write_step_q8(
+                    self.buffers, self.scales, new_caches, wp)
+            else:
+                self.buffers = _write_step(self.buffers, new_caches, wp,
+                                           None)
 
     def _simulate_group(self, k: int):
         """Replay k steps of bookkeeping on COPIES (committed by the caller
@@ -634,13 +706,15 @@ class StreamingDepth:
          group_ids) = self._simulate_group(k)
         sel_buf, seljs = self._group_selectors(k, ctx_ids, ctx_rows,
                                                group_ids)
-        depths, new_rows = _stream_step_group(
-            self.params, jnp.asarray(frames), self.buffers,
-            (jnp.asarray(sel_buf), tuple(jnp.asarray(s) for s in seljs)),
-            self.cfg, self.net_hw, self.out_hw, self.dtype,
-            self.attn_impl, self.cache_kind, k)
-        self.buffers = _write_step(self.buffers, new_rows,
-                                   jnp.asarray(write_rows, jnp.int32), None)
+        with self._mesh_scope():
+            depths, new_rows = _stream_step_group(
+                self.params, jnp.asarray(frames), self.buffers,
+                (jnp.asarray(sel_buf), tuple(jnp.asarray(s) for s in seljs)),
+                self.cfg, self.net_hw, self.out_hw, self.dtype,
+                self.attn_impl, self.cache_kind, k)
+            self.buffers = _write_step(self.buffers, new_rows,
+                                       jnp.asarray(write_rows, jnp.int32),
+                                       None)
         self.id, self.order, self.free = sim_id, order, free
         return depths
 
