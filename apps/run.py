@@ -134,6 +134,13 @@ def main(argv=None):
     if args.tp > 1 or (args.window_batch > 1 and len(devices) > 1):
         from vda_tpu.parallel.mesh import make_mesh
 
+        if args.tp <= 1:
+            # plain --window-batch N: shard over at most N devices so the
+            # driver keeps the requested batch (windowed.py rounds the batch
+            # UP to fill the data axis — a mesh over all 8 local devices
+            # would silently inflate wb 2 -> 8).  --tp keeps the
+            # fill-the-data-axis semantics its help text documents.
+            devices = devices[:min(len(devices), args.window_batch)]
         if len(devices) % max(args.tp, 1) != 0:
             raise SystemExit(f"--tp {args.tp} does not divide the "
                              f"{len(devices)} local devices")

@@ -371,8 +371,9 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
     # headline streaming number, bf16 cache ALONE resident — matching the
     # r1-r3 artifact protocol so the cross-round series stays comparable
     # (the int8 A/B below keeps a second cache live, which must not color
-    # the headline)
-    solo = [measure_block(stream, n_meas)[0] for _ in range(2)]
+    # the headline).  3 blocks for a true median (2 blocks made the
+    # headline the pessimistic max of the pair).
+    solo = [measure_block(stream, n_meas)[0] for _ in range(3)]
     ms = sorted(solo)[len(solo) // 2]
     result = {
         "stream_ms_per_frame": round(ms, 3),
@@ -392,7 +393,11 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
     # (scripts/validate_checkpoint.py --stream-int8).  Costs one extra
     # StreamingDepth compile + ~n_warm+6*16 extra steps of bench wall time;
     # set VDA_BENCH_STREAM_INT8=0 to skip.
-    ab_int8 = (cache_dtype == "bf16"
+    # type check: an env-pinned experimental layout (VDA_STREAM_RING/SLIDE)
+    # redirects StreamingDepth.__new__ to a subclass that rejects int8 — the
+    # A/B only applies to the default flavor, and must not crash the bench
+    # when someone benches an experimental layout.
+    ab_int8 = (cache_dtype == "bf16" and type(stream) is StreamingDepth
                and os.environ.get("VDA_BENCH_STREAM_INT8", "1") == "1")
     if ab_int8:
         q = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
@@ -423,11 +428,15 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
     # assembly path and compare steady-state depths — a Mosaic miscompile of
     # ops/pallas_stream must fail loudly here, like the window pallas_check.
     if os.environ.get("VDA_STREAM_DIRECT", "0") == "1":
-        ref_stream = StreamingDepth(params, cfg, input_size=size,
-                                    attn_impl=attn_impl)
+        # flavor envs are snapshotted at CONSTRUCTION (StreamingDepth.__new__),
+        # so the reference stream must be built while the env reads 0 — built
+        # under =1 it would silently be the direct flavor itself and the
+        # check would compare direct against direct.
         prev = os.environ["VDA_STREAM_DIRECT"]
-        os.environ["VDA_STREAM_DIRECT"] = "0"  # read per-submit
+        os.environ["VDA_STREAM_DIRECT"] = "0"
         try:
+            ref_stream = StreamingDepth(params, cfg, input_size=size,
+                                        attn_impl=attn_impl)
             for _ in range(stream.id + 1):  # same step count as `d`
                 dr = ref_stream.submit(frame)
         finally:

@@ -20,8 +20,10 @@ import jax.numpy as jnp
 
 @pytest.fixture(autouse=True)
 def _direct_on(monkeypatch):
-    # the direct path is opt-in until its Mosaic compile is proven on
-    # hardware (read at dispatch time by StreamingDepth._direct_ok).
+    # the direct path is opt-in (measured net loss on-chip): the env is
+    # snapshotted at CONSTRUCTION by StreamingDepth.__new__ (flavor subclass
+    # selection) and re-checked per-submit by ExperimentalStreamingDepth.
+    # _direct_ok, so it must be set before StreamingDepth(...) is built.
     # monkeypatch scopes the flag to THIS module's tests — a module-level
     # os.environ write would leak into every later test and silently move
     # the other streaming tests off the production-default assembly path.

@@ -43,7 +43,6 @@ from vda_tpu.infer.streaming import (
     _CTX,
     _ONE_HOT,
     _RING,
-    _row,
     _to_out_depth,
     _write_row,
     _write_step,

@@ -309,8 +309,25 @@ def _tiny_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq: int,
         o_ref[:, h * d:(h + 1) * d] = (o / z).astype(o_ref.dtype)
 
 
+def _pick_rows_per_tile(c: int, itemsize: int, seq: int) -> int:
+    """Largest power-of-two row tile whose scoped-VMEM stack fits.
+
+    The kernel's live set is 4 I/O tiles double-buffered (8*tile*c*itemsize)
+    plus the (tile, tile) score-block temporaries — fp32 scores, bf16 exp,
+    two int32 iotas and the bool mask, ~19 B/element measured (the Mosaic
+    compile of c=1536/tile=512 allocates 17.2 MB against the 16 MB limit;
+    the I/O term alone is 12.6 MB).  512 is the measured-optimal tile at
+    vitl shapes (see tiny_seq_attention docstring) and is kept whenever it
+    fits under a 14 MB budget (2 MB headroom)."""
+    tile = 512
+    while tile > seq and (8 * tile * c * itemsize + 19 * tile * tile
+                          > 14 * 2 ** 20):
+        tile //= 2
+    return max(tile, seq)
+
+
 def tiny_seq_attention(q, k, v, heads: int, seq: int, scale: float,
-                       rows_per_tile: int = 512):
+                       rows_per_tile: int = 0):
     """Batched self-attention over (BD, seq, C) with seq <= 64.
 
     Replaces the temporal-attention einsum (reference
@@ -318,13 +335,18 @@ def tiny_seq_attention(q, k, v, heads: int, seq: int, scale: float,
     matmuls run at ~3 TF/s on the MXU; tiling G positions per kernel cell
     with an in-VMEM block-diagonal mask recovers full-width passes.
 
-    rows_per_tile: v5e sweep at the vitl mm3 shape (5476x32x256, dh 32):
+    rows_per_tile: 0 (default) picks the largest VMEM-feasible tile
+    (_pick_rows_per_tile) — 512 at every vits/vitb/vitl shape, 256 at
+    vitg's C=1536 modules where 512's stack overflows scoped VMEM.
+    v5e sweep at the vitl mm3 shape (5476x32x256, dh 32):
     64 -> 3.26 ms, 128 -> 3.34, 256 -> 4.00, 512 -> 2.93.  The kernel is
     matmul-bound at the K=dh=32 contraction (quarter-MXU ceiling), so the
     larger M tile wins despite the wider masked region.
     """
     bd, t, c = q.shape
     assert t == seq
+    if not rows_per_tile:
+        rows_per_tile = _pick_rows_per_tile(c, q.dtype.itemsize, seq)
     g = max(rows_per_tile // seq, 1)
     tile = g * seq
     pad_bd = (-bd) % g
