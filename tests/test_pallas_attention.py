@@ -73,3 +73,42 @@ def test_flash_bf16():
     ref = np.asarray(_xla_attention(q, k, v, scale)).astype(np.float32)
     out = np.asarray(flash_attention(q, k, v, scale)).astype(np.float32)
     assert np.abs(out - ref).max() < 0.05
+
+
+def test_tiny_seq_tile_pick_vmem_budget():
+    """The row tile must shrink at widths whose 512-row stack overflows the
+    16 MB scoped-VMEM limit (vitg's C=1536 modules allocate 17.2 MB at 512 —
+    measured Mosaic compile failure, r4) and stay at the measured-optimal
+    512 everywhere it fits (vits/vitb/vitl: C in {256, 384, 1024})."""
+    from vda_tpu.ops.pallas_attention import _pick_rows_per_tile
+
+    for c in (256, 384, 1024):
+        assert _pick_rows_per_tile(c, 2, 32) == 512, c
+    assert _pick_rows_per_tile(1536, 2, 32) == 256
+    # never below one sequence
+    assert _pick_rows_per_tile(8192, 4, 32) >= 32
+
+
+def test_tiny_seq_vitg_width_matches_naive():
+    """tiny_seq_attention at the vitg temporal-module width (C=1536, 8 heads,
+    dh=192) vs a per-problem naive softmax reference."""
+    from vda_tpu.ops.pallas_attention import tiny_seq_attention
+
+    bd, t, c, heads = 6, 32, 1536, 8
+    d = c // heads
+    scale = d ** -0.5
+    q = jnp.asarray(RNG.standard_normal((bd, t, c)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((bd, t, c)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((bd, t, c)), jnp.float32)
+
+    out = np.asarray(tiny_seq_attention(q, k, v, heads=heads, seq=t,
+                                        scale=scale))
+
+    qh = np.asarray(q).reshape(bd, t, heads, d)
+    kh = np.asarray(k).reshape(bd, t, heads, d)
+    vh = np.asarray(v).reshape(bd, t, heads, d)
+    s = np.einsum("bthd,bshd->bhts", qh, kh) * scale
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhts,bshd->bthd", p, vh).reshape(bd, t, c)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
