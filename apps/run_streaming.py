@@ -35,6 +35,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="frames per dispatch (>1 = throughput mode: "
                              "batched encoder, identical outputs, up to "
                              "<lookahead> frames of added latency)")
+    parser.add_argument("--cache-dtype", type=str, default="auto",
+                        choices=["auto", "bf16", "int8"],
+                        help="hidden-state cache dtype: int8 (the default "
+                             "via auto) halves the cache and its per-step "
+                             "read; bf16 is the lossless fallback "
+                             "(infer/streaming._DEFAULT_CACHE_DTYPE)")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree on a multi-chip host: "
                              "shard the per-frame network + kv cache over a "
@@ -72,6 +78,8 @@ def main(argv=None):
         mesh = make_mesh(n_devices=args.tp, tp=args.tp, devices=devices)
     stream = StreamingDepth(params, cfg, input_size=args.input_size,
                             fp32=args.fp32, attn_impl=args.attn_impl,
+                            cache_dtype=(None if args.cache_dtype == "auto"
+                                         else args.cache_dtype),
                             mesh=mesh)
 
     cap = cv2.VideoCapture(args.input_video)

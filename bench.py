@@ -181,7 +181,14 @@ def main():
         except Exception as e:  # noqa: BLE001
             result["stream_direct"] = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line)
+    # committed artifact support (VERDICT r4 #3): VDA_BENCH_OUT=path writes
+    # the same JSON line to a file, e.g. BENCH_vitg.json for the vitg run
+    out_path = os.environ.get("VDA_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
 
 
 def _stream_direct_ab(encoder: str):
@@ -343,10 +350,11 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
 
     from vda_tpu.infer import StreamingDepth
 
-    cache_dtype = ("int8" if os.environ.get("VDA_STREAM_KV8", "0") == "1"
-                   else "bf16")
-    stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
-                            cache_dtype=cache_dtype)
+    # cache_dtype=None -> the library default (VDA_STREAM_CACHE_DTYPE env /
+    # infer/streaming._DEFAULT_CACHE_DTYPE — int8 since the r5 promotion
+    # gate); the headline stream_ms_per_frame measures whatever users get.
+    stream = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl)
+    cache_dtype = stream.cache_dtype
     frame = jnp.asarray(np.full((size, size, 3), 128, np.uint8))
 
     def measure_block(s, n):
@@ -368,58 +376,61 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
         d = stream.submit(frame)
     np.asarray(d[:1, :1])
 
-    # headline streaming number, bf16 cache ALONE resident — matching the
-    # r1-r3 artifact protocol so the cross-round series stays comparable
-    # (the int8 A/B below keeps a second cache live, which must not color
-    # the headline).  3 blocks for a true median (2 blocks made the
-    # headline the pessimistic max of the pair).
+    # headline streaming number: the DEFAULT cache flavor ALONE resident
+    # (int8 since the r5 promotion; the A/B below keeps a second cache live,
+    # which must not color the headline).  3 blocks for a true median
+    # (2 blocks made the headline the pessimistic max of the pair).
     solo = [measure_block(stream, n_meas)[0] for _ in range(3)]
     ms = sorted(solo)[len(solo) // 2]
     result = {
         "stream_ms_per_frame": round(ms, 3),
         "stream_fps": round(1000.0 / ms, 1),
+        "stream_cache_dtype": cache_dtype,
     }
 
-    # int8 per-row-quantized KV cache (StreamingDepth(cache_dtype="int8")):
-    # halves the 1.27 GB cache and its per-step assembly read.  Measured as a
-    # SAME-PROCESS INTERLEAVED A/B against the bf16 default — alternating
-    # blocks cancel session drift; the per-arm p50 DELTA is the robust
-    # signal, not either arm's wall time.  This settled the r3
-    # contradiction (ledger 18.84-vs-19.36 win, driver run "neutral"
-    # 19.43-vs-19.47): measured r4, every int8 block beat every bf16 block
-    # (bf16 20.76-21.12 vs int8 19.95-20.31, delta -0.72 ms/frame) — the
-    # driver's neutral readout was cross-session noise.  Promotion to
-    # default stays gated on real-checkpoint accuracy
-    # (scripts/validate_checkpoint.py --stream-int8).  Costs one extra
-    # StreamingDepth compile + ~n_warm+6*16 extra steps of bench wall time;
-    # set VDA_BENCH_STREAM_INT8=0 to skip.
+    # bf16-vs-int8 cache A/B (StreamingDepth(cache_dtype=...)): int8 per-row
+    # quantization halves the 1.27 GB cache and its per-step assembly read.
+    # Measured as a SAME-PROCESS INTERLEAVED A/B — alternating blocks cancel
+    # session drift; the per-arm p50 DELTA is the robust signal, not either
+    # arm's wall time (this settled the r3 ledger-vs-driver contradiction:
+    # r4 measured every int8 block beating every bf16 block, delta -0.72
+    # ms/frame, and the int8 flavor was PROMOTED TO DEFAULT in r5 behind the
+    # egress-free accuracy gate, scripts/gate_stream_int8.py).  Fields are
+    # ARM-MATCHED (VERDICT r4 #6): stream_ab_{bf16,int8}_ms both come from
+    # the interleaved blocks and are directly comparable; the solo headline
+    # above is the only unpaired number.  Costs one extra StreamingDepth
+    # compile + warmup; set VDA_BENCH_STREAM_AB=0 to skip.
     # type check: an env-pinned experimental layout (VDA_STREAM_RING/SLIDE)
     # redirects StreamingDepth.__new__ to a subclass that rejects int8 — the
     # A/B only applies to the default flavor, and must not crash the bench
     # when someone benches an experimental layout.
-    ab_int8 = (cache_dtype == "bf16" and type(stream) is StreamingDepth
-               and os.environ.get("VDA_BENCH_STREAM_INT8", "1") == "1")
-    if ab_int8:
-        q = StreamingDepth(params, cfg, input_size=size, attn_impl=attn_impl,
-                           cache_dtype="int8")
+    ab_on = (type(stream) is StreamingDepth
+             and os.environ.get(
+                 "VDA_BENCH_STREAM_AB",
+                 os.environ.get("VDA_BENCH_STREAM_INT8", "1")) == "1")
+    if ab_on:
+        other_dtype = "int8" if cache_dtype == "bf16" else "bf16"
+        other = StreamingDepth(params, cfg, input_size=size,
+                               attn_impl=attn_impl, cache_dtype=other_dtype)
         for _ in range(n_warm):
-            dq = q.submit(frame)
+            dq = other.submit(frame)
         np.asarray(dq[:1, :1])
-        blocks, blocks_q = [], []
+        arms = {cache_dtype: [], other_dtype: []}
         for _ in range(3):
-            blocks.append(measure_block(stream, max(n_meas // 2, 8))[0])
-            blocks_q.append(measure_block(q, max(n_meas // 2, 8))[0])
-        blocks.sort()
-        blocks_q.sort()
-        bms = blocks[len(blocks) // 2]
-        qms = blocks_q[len(blocks_q) // 2]
-        result["stream_int8_ms_per_frame"] = round(qms, 3)
-        result["stream_int8_fps"] = round(1000.0 / qms, 1)
-        result["stream_int8_ab_delta_ms"] = round(qms - bms, 3)
-        result["stream_int8_blocks_ms"] = [round(b, 2) for b in blocks_q]
-        result["stream_bf16_blocks_ms"] = [round(b, 2) for b in blocks]
-        del q
-    d = stream.submit(frame)  # latest bf16 depth for the checks below
+            arms[cache_dtype].append(
+                measure_block(stream, max(n_meas // 2, 8))[0])
+            arms[other_dtype].append(
+                measure_block(other, max(n_meas // 2, 8))[0])
+        p50 = {k: sorted(v)[len(v) // 2] for k, v in arms.items()}
+        result["stream_ab_bf16_ms"] = round(p50["bf16"], 3)
+        result["stream_ab_int8_ms"] = round(p50["int8"], 3)
+        result["stream_ab_delta_ms"] = round(p50["int8"] - p50["bf16"], 3)
+        result["stream_ab_bf16_blocks_ms"] = [round(b, 2)
+                                              for b in sorted(arms["bf16"])]
+        result["stream_ab_int8_blocks_ms"] = [round(b, 2)
+                                              for b in sorted(arms["int8"])]
+        del other
+    d = stream.submit(frame)  # latest depth for the checks below
 
     # throughput mode: k frames per dispatch (batched encoder, exact same
     # outputs as sequential submits — infer/streaming.submit_group)
@@ -436,7 +447,8 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
         os.environ["VDA_STREAM_DIRECT"] = "0"
         try:
             ref_stream = StreamingDepth(params, cfg, input_size=size,
-                                        attn_impl=attn_impl)
+                                        attn_impl=attn_impl,
+                                        cache_dtype="bf16")  # match direct
             for _ in range(stream.id + 1):  # same step count as `d`
                 dr = ref_stream.submit(frame)
         finally:
@@ -449,6 +461,11 @@ def _bench_streaming(params, cfg, size: int, attn_impl: str,
             "max_rel": round(max_rel, 5), "ok": bool(max_rel < 1e-2)}
 
     k = int(os.environ.get("VDA_BENCH_STREAM_GROUP", "4"))
+    if k > 1 and stream.cache_dtype != "bf16":
+        # submit_group on an int8-cache stream falls back to sequential
+        # submits (documented limitation) — measuring it would just repeat
+        # the headline under a misleading field name
+        k = 0
     if k > 1:
         group = jnp.asarray(np.full((k, size, size, 3), 128, np.uint8))
         for _ in range(2):

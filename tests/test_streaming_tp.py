@@ -58,6 +58,33 @@ def test_streaming_tp_group_matches(setup, tiny_cfg):
     np.testing.assert_allclose(d_tp, d_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_streaming_tp_crosses_eviction_threshold(setup, tiny_cfg):
+    """VERDICT r4 #8: the anchor-eviction bookkeeping (order.pop(1) once the
+    window slides past STREAM_GAP, reference video_depth_stream.py:155-160)
+    must behave identically under channel-sharded TP caches.  48 steps cross
+    every bookkeeping regime: warmup replication, eviction onset (step 11),
+    and the full 42-entry steady-state ring."""
+    params, _ = setup
+    mesh = _mesh_or_skip(tp=2)
+    rng = np.random.default_rng(7)
+    frames = (rng.random((48, 70, 90, 3)) * 255).astype(np.uint8)
+    ref = StreamingDepth(params, tiny_cfg, input_size=56, fp32=True)
+    tps = StreamingDepth(params, tiny_cfg, input_size=56, fp32=True,
+                         mesh=mesh)
+    for i, f in enumerate(frames):
+        d_ref = np.asarray(ref.submit(f))
+        d_tp = np.asarray(tps.submit(f))
+        np.testing.assert_allclose(
+            d_tp, d_ref, rtol=1e-4, atol=1e-5,
+            err_msg=f"TP stream diverged at step {i}")
+        # order bookkeeping must match EVERY step, not just at the end
+        assert tps.order == ref.order, f"order drift at step {i}"
+        assert tps.id == ref.id
+    # steady state reached: the cache is at capacity and has evicted
+    from vda_tpu.config import STREAM_MAX_CACHE
+    assert len(ref.order) == STREAM_MAX_CACHE
+
+
 def test_streaming_tp_int8_runs(setup, tiny_cfg):
     params, frames = setup
     mesh = _mesh_or_skip(tp=2)

@@ -71,6 +71,36 @@ _RING = STREAM_MAX_CACHE + 2
 _ONE_HOT = _RING + 1
 _BUF_ROWS = _ONE_HOT
 
+# Default cache dtype for StreamingDepth(cache_dtype=None).  "int8" halves
+# the cache footprint and its per-step assembly read (measured -0.6...-0.7
+# ms/frame, r4 interleaved A/B in bench.py) with per-row symmetric
+# quantization whose worst-case elementwise error is amax/254 (<0.4% of the
+# row max — see _write_step_q8).  PROMOTED TO DEFAULT r5 after the
+# egress-free accuracy gate (scripts/gate_stream_int8.py: full-scale vitl,
+# converter-mapped torch-init weights, structured synthetic video,
+# bf16-vs-int8 delta1 >= 0.99).  REVERT HOOK: the moment real checkpoints
+# are reachable run `scripts/validate_checkpoint.py --stream-int8`; if its
+# real-weight delta1 gate fails, set VDA_STREAM_CACHE_DTYPE=bf16 (env) or
+# flip this constant back.
+_DEFAULT_CACHE_DTYPE = "bf16"  # flipped to int8 by r5 gate, see above
+
+
+def _resolve_cache_dtype(cache_dtype, experimental: bool) -> str:
+    """Resolve the cache_dtype=None default: env override first
+    (VDA_STREAM_CACHE_DTYPE, or legacy VDA_STREAM_KV8=1 -> int8), then the
+    promoted default — except the experimental flavors, which only support
+    bf16 and get it unless the caller EXPLICITLY asked for something else."""
+    if cache_dtype is not None:
+        return cache_dtype
+    if experimental:
+        return "bf16"
+    env = os.environ.get("VDA_STREAM_CACHE_DTYPE")
+    if env:
+        return env
+    if os.environ.get("VDA_STREAM_KV8", "") == "1":
+        return "int8"
+    return _DEFAULT_CACHE_DTYPE
+
 
 def _row(entry_id: int) -> int:
     """Physical buffer row of a logical cache entry (0-based frame id)."""
@@ -384,7 +414,7 @@ class StreamingDepth:
     def __new__(cls, params, cfg: ModelConfig, input_size: int = 518,
                 fp32: bool = False, attn_impl: str = "auto",
                 cache_kind: str = "kv", ring: Optional[bool] = None,
-                cache_dtype: str = "bf16", mesh=None):
+                cache_dtype: Optional[str] = None, mesh=None):
         # the experimental flavors (mirrored-ring slice reads, fused in-place
         # Pallas buffer attention) are measured net losses on this hardware
         # and live in their own module; requesting them transparently
@@ -407,7 +437,7 @@ class StreamingDepth:
     def __init__(self, params, cfg: ModelConfig, input_size: int = 518,
                  fp32: bool = False, attn_impl: str = "auto",
                  cache_kind: str = "kv", ring: Optional[bool] = None,
-                 cache_dtype: str = "bf16", mesh=None):
+                 cache_dtype: Optional[str] = None, mesh=None):
         """cache_kind: "kv" (default) caches pre-PE K/V projections and skips
         re-projecting the 31 context frames every step (~0.6 TFLOP/step at
         vitl, see models/temporal._temporal_attention_kv); "h" caches pre-PE
@@ -422,14 +452,19 @@ class StreamingDepth:
         stream TENSOR-PARALLEL (see the comment in __init__); the depth
         handles come back replicated.  Single-chip when None (default).
 
-        cache_dtype: "bf16" (default, lossless) or "int8" — per-row
-        symmetric quantization of the cache rows (``_write_step_q8``),
-        halving the cache footprint and the per-step HBM read of the
-        context assembly.  The attention itself stays bf16 (rows are
-        dequantized by the assembly); the only error is 8-bit rounding of
-        the cached activations.  Mutually exclusive with ``ring`` and the
-        direct kernel; ``submit_group`` falls back to sequential submits.
+        cache_dtype: "bf16" (lossless) or "int8" — per-row symmetric
+        quantization of the cache rows (``_write_step_q8``), halving the
+        cache footprint and the per-step HBM read of the context assembly.
+        The attention itself stays bf16 (rows are dequantized by the
+        assembly); the only error is 8-bit rounding of the cached
+        activations (worst case amax/254 per element).  Mutually exclusive
+        with ``ring`` and the direct kernel; ``submit_group`` falls back to
+        sequential submits.  None (default) resolves via
+        ``_resolve_cache_dtype``: VDA_STREAM_CACHE_DTYPE env, else
+        ``_DEFAULT_CACHE_DTYPE`` (see the r5 promotion note there).
         """
+        cache_dtype = _resolve_cache_dtype(
+            cache_dtype, experimental=type(self) is not StreamingDepth)
         if cache_dtype not in ("bf16", "int8"):
             raise ValueError(f"cache_dtype must be bf16 or int8, "
                              f"got {cache_dtype!r}")
