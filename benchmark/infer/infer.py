@@ -30,7 +30,7 @@ def main(argv=None):
                         default=["scannet", "nyuv2"])
     parser.add_argument("--input_size", type=int, default=518)
     parser.add_argument("--encoder", type=str, default="vitl",
-                        choices=["vits", "vitb", "vitl", "vitg"])
+                        choices=["vits", "vitb", "vitl", "vitg", "tiny"])
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--random-init", action="store_true")
     args = parser.parse_args(argv)
