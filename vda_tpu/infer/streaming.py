@@ -186,10 +186,11 @@ def _first_step(params, frame_u8, cfg: ModelConfig, net_hw, out_hw, dtype,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "net_hw", "out_hw", "dtype",
                                              "attn_impl", "cache_kind",
-                                             "sel_rows"))
+                                             "sel_rows", "ctx_kernel"))
 def _stream_step(params, frame_u8, buffers, scales, ctx_idx,
                  cfg: ModelConfig, net_hw, out_hw, dtype, attn_impl,
-                 cache_kind, sel_rows: int = _ONE_HOT):
+                 cache_kind, sel_rows: int = _ONE_HOT,
+                 ctx_kernel: bool = False):
     """One causal step (one-hot context assembly — the default flavor).
 
     READ-ONLY on the buffers: returns (depth, new_caches) and the caller
@@ -234,6 +235,14 @@ def _stream_step(params, frame_u8, buffers, scales, ctx_idx,
         cache_list = jax.tree_util.tree_map(ctx, buffers)
     else:
         cache_list = jax.tree_util.tree_map(ctx, buffers, scales)
+    if ctx_kernel:
+        # hand each assembled (k, v) context to the fused Pallas attention
+        # (models/temporal._temporal_attention_kv_ctx): PE add + softmax +
+        # value contraction in one VMEM pass instead of the XLA
+        # concat/PE-add/attention round trips.  kv cache_kind only (the
+        # "h" cache re-projects hidden states, a different dataflow).
+        assert cache_kind == "kv", "ctx_kernel requires the kv cache"
+        cache_list = [kv + ("ctx",) for kv in cache_list]
     depth, new_caches = forward_depth(params, feats, x.shape, cfg,
                                       cached_hidden_state_list=cache_list,
                                       cache_kind=cache_kind)
@@ -414,7 +423,8 @@ class StreamingDepth:
     def __new__(cls, params, cfg: ModelConfig, input_size: int = 518,
                 fp32: bool = False, attn_impl: str = "auto",
                 cache_kind: str = "kv", ring: Optional[bool] = None,
-                cache_dtype: Optional[str] = None, mesh=None):
+                cache_dtype: Optional[str] = None, mesh=None,
+                ctx_kernel: Optional[bool] = None):
         # the experimental flavors (mirrored-ring slice reads, fused in-place
         # Pallas buffer attention) are measured net losses on this hardware
         # and live in their own module; requesting them transparently
@@ -437,7 +447,8 @@ class StreamingDepth:
     def __init__(self, params, cfg: ModelConfig, input_size: int = 518,
                  fp32: bool = False, attn_impl: str = "auto",
                  cache_kind: str = "kv", ring: Optional[bool] = None,
-                 cache_dtype: Optional[str] = None, mesh=None):
+                 cache_dtype: Optional[str] = None, mesh=None,
+                 ctx_kernel: Optional[bool] = None):
         """cache_kind: "kv" (default) caches pre-PE K/V projections and skips
         re-projecting the 31 context frames every step (~0.6 TFLOP/step at
         vitl, see models/temporal._temporal_attention_kv); "h" caches pre-PE
@@ -462,6 +473,14 @@ class StreamingDepth:
         sequential submits.  None (default) resolves via
         ``_resolve_cache_dtype``: VDA_STREAM_CACHE_DTYPE env, else
         ``_DEFAULT_CACHE_DTYPE`` (see the r5 promotion note there).
+
+        ctx_kernel: fused Pallas attention over the assembled KV context
+        (models/temporal._temporal_attention_kv_ctx) — PE add, softmax and
+        value contraction in one VMEM pass over the (BHW, 31, C) context
+        instead of XLA's concat/PE-add/attention round trips.  Requires
+        cache_kind="kv", no TP mesh (Pallas is single-chip) and
+        attn_impl != "xla".  None (default) resolves the
+        VDA_STREAM_CTX_KERNEL env (off otherwise).
         """
         cache_dtype = _resolve_cache_dtype(
             cache_dtype, experimental=type(self) is not StreamingDepth)
@@ -505,6 +524,18 @@ class StreamingDepth:
         if cache_dtype == "int8" and self.ring:
             raise ValueError("cache_dtype='int8' does not support the ring "
                              "layout (a measured dead end anyway)")
+        unsupported = (cache_kind != "kv" or self.ring
+                       or self.mesh is not None or self.attn_impl == "xla")
+        if ctx_kernel is None:
+            # env opt-in quietly yields where the kernel can't apply (e.g.
+            # a TP mesh forces attn_impl="xla"); only an EXPLICIT True raises
+            ctx_kernel = (os.environ.get("VDA_STREAM_CTX_KERNEL", "0") == "1"
+                          and type(self) is StreamingDepth
+                          and not unsupported)
+        if ctx_kernel and unsupported:
+            raise ValueError("ctx_kernel requires cache_kind='kv', no ring "
+                             "layout, no TP mesh, and a non-xla attn_impl")
+        self.ctx_kernel = bool(ctx_kernel)
         self.rows = self._buf_rows()
         self.reset()
 
@@ -651,7 +682,7 @@ class StreamingDepth:
                 self.scales if self.cache_dtype == "int8" else None,
                 jnp.asarray(ctx_rows, jnp.int32), self.cfg, self.net_hw,
                 self.out_hw, self.dtype, self.attn_impl, self.cache_kind,
-                sel_rows=self._sel_rows())
+                sel_rows=self._sel_rows(), ctx_kernel=self.ctx_kernel)
 
     def _commit(self, new_caches, write_pos: int):
         """Commit the returned cache rows (write-only donated dispatch)."""
@@ -733,9 +764,10 @@ class StreamingDepth:
                 "submit_group")
         k = len(frames)
         assert frames.shape[1:3] == self.out_hw, "frame size changed mid-stream"
-        if self.cache_dtype == "int8":
-            # the grouped program has no int8 dequant path — sequential
-            # submits preserve the protocol exactly (documented limitation)
+        if self.cache_dtype == "int8" or self.ctx_kernel:
+            # the grouped program has no int8 dequant / fused-ctx-attention
+            # path — sequential submits preserve the protocol exactly
+            # (documented limitation)
             return jnp.stack([self.submit(f) for f in frames])
         (sim_id, order, free, ctx_ids, ctx_rows, write_rows,
          group_ids) = self._simulate_group(k)

@@ -139,6 +139,8 @@ def _temporal_attention(p, h, cfg: ModelConfig,
     if isinstance(cache, tuple):
         if len(cache) == 4:
             return _temporal_attention_kv_direct(p, h, cfg, cache)
+        if len(cache) == 3:
+            return _temporal_attention_kv_ctx(p, h, cfg, cache)
         return _temporal_attention_kv(p, h, cfg, cache)
     input_hidden_states = h
     d_in = 0
@@ -254,6 +256,64 @@ def _temporal_attention_kv(p, h, cfg: ModelConfig, cache):
                        v.reshape(bd, t_full, heads, dh),
                        dh ** -0.5).reshape(bd, t_new, c)
     return linear(p["to_out"], o), (k_new, v_new)
+
+
+def _temporal_attention_kv_ctx(p, h, cfg: ModelConfig, cache):
+    """Fused cached-head attention over the ASSEMBLED context.
+
+    cache: (k_ctx, v_ctx, "ctx") — pre-PE K/V projection context rows
+    (BHW_pad, 31, C) produced by the streaming one-hot assembly (the
+    measured-optimal read path), plus a marker distinguishing this from the
+    plain kv tuple.  Where ``_temporal_attention_kv`` materializes
+    concat + PE-add passes over the (BHW, 32, C) context before the
+    attention einsums re-read it, this path hands the assembled rows to ONE
+    Pallas kernel (ops/pallas_stream.stream_kv_attention with every row
+    valid) that streams them through VMEM once: PE add, scores, softmax and
+    the value contraction all in-kernel.  Unlike the measured-dead-end
+    direct path (VDA_STREAM_DIRECT — in-kernel reads of all 43 ring rows),
+    the 31-row context here is already dense, so the kernel reads no dead
+    bytes.  Numerics: same bf16 PE adds / fp32 score accumulation recipe as
+    the kv path.  Reference semantics: motion_module.py:249-274.
+
+    Falls back to ``_temporal_attention_kv`` off-TPU or at shapes the
+    kernel doesn't support (t_new > 1, RoPE, TP layout, unpadded rows).
+    """
+    kc, vc = cache[0], cache[1]
+    bd, t_new, c = h.shape
+    bhw_pad, t_ctx = kc.shape[0], kc.shape[1]
+    heads = cfg.num_attention_heads
+    dh = c // heads
+    gw = min(c, 512)
+    from vda_tpu.ops.pallas_stream import ROW_TILE
+    ok = (t_new == 1 and cfg.pe == "ape" and not cfg.tp_layout
+          and bhw_pad % ROW_TILE == 0 and c % gw == 0 and gw % dh == 0
+          and dh % 8 == 0 and _on_tpu_or_interpret())
+    if not ok:
+        return _temporal_attention_kv(p, h, cfg, (kc, vc))
+    from vda_tpu.ops.pallas_stream import stream_kv_attention
+
+    t_full = t_ctx + 1
+    pe = jnp.asarray(_sinusoidal_pe(t_full, c)).astype(h.dtype)
+    k_new = linear(p["to_k"], h)          # pre-PE, what gets cached
+    v_new = linear(p["to_v"], h)
+    pe_k_proj = linear(p["to_k"], pe)     # (32, C)
+    pe_v_proj = linear(p["to_v"], pe)
+    q = linear(p["to_q"], h + pe[None, t_full - 1:t_full])[:, 0]
+    kn = k_new[:, 0] + pe_k_proj[t_full - 1]
+    vn = v_new[:, 0] + pe_v_proj[t_full - 1]
+    pad = bhw_pad - bd
+    if pad:
+        padding = ((0, pad), (0, 0))
+        q = jnp.pad(q, padding)
+        kn = jnp.pad(kn, padding)
+        vn = jnp.pad(vn, padding)
+    valid = jnp.ones((t_ctx,), jnp.bool_)
+    o = stream_kv_attention(q, kn, vn, kc.astype(h.dtype),
+                            vc.astype(h.dtype), pe_k_proj[:t_ctx],
+                            pe_v_proj[:t_ctx], valid, heads=heads,
+                            scale=dh ** -0.5)
+    out = linear(p["to_out"], o[:bd][:, None])
+    return out, (k_new, v_new)
 
 
 def _temporal_attention_kv_direct(p, h, cfg: ModelConfig, cache):
