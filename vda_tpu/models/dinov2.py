@@ -195,6 +195,17 @@ def _seq_constrain(x):
     return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, MODEL_AXIS, None))
 
 
+def _fuse_proj_usable(n: int, cfg: EncoderConfig, attn_impl: str) -> bool:
+    """Gate for the fused attention+out-projection kernel: pallas attention
+    must be engaged AND the single-group resident set must fit VMEM."""
+    from vda_tpu.ops.pallas_attention import attn_proj_fits
+
+    if not (attn_impl == "pallas"
+            or (attn_impl == "auto" and _use_pallas(n, cfg.head_dim))):
+        return False
+    return attn_proj_fits(n, cfg.num_heads, cfg.head_dim)
+
+
 def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto",
                 valid_len: int | None = None,
                 drop_path_rate: float = 0.0, rng=None):
@@ -222,12 +233,27 @@ def block_apply(p, x, cfg: EncoderConfig, attn_impl: str = "auto",
     if use_dp:
         rng1, rng2 = jax.random.split(rng)
     x = sp(x)
-    h = _attention(p["attn"], layer_norm(p["norm1"], x), cfg.num_heads,
-                   attn_impl, valid_len)
-    h = h * p["ls1"].astype(h.dtype)
-    if use_dp:
-        h = drop_path(h, drop_path_rate, rng1)
-    x = sp(x + h)
+    if (not use_dp and not cfg.seq_shard
+            and os.environ.get("VDA_ATTN_FUSE_PROJ", "0") == "1"
+            and p["attn"]["qkv"]["w"].ndim == 2
+            and _fuse_proj_usable(x.shape[1], cfg, attn_impl)):
+        # opt-in fused attention+projection+LayerScale+residual kernel
+        # (VERDICT r4 #7): the attention output never round-trips HBM
+        from vda_tpu.ops.pallas_attention import flash_attention_qkv_proj
+
+        qkv = linear(p["attn"]["qkv"], layer_norm(p["norm1"], x))
+        gb = jnp.stack([p["ls1"].astype(jnp.float32),
+                        p["attn"]["proj"]["b"].astype(jnp.float32)])
+        x = flash_attention_qkv_proj(
+            qkv, p["attn"]["proj"]["w"].astype(qkv.dtype), gb, x,
+            cfg.num_heads, scale=cfg.head_dim ** -0.5, valid_len=valid_len)
+    else:
+        h = _attention(p["attn"], layer_norm(p["norm1"], x), cfg.num_heads,
+                       attn_impl, valid_len)
+        h = h * p["ls1"].astype(h.dtype)
+        if use_dp:
+            h = drop_path(h, drop_path_rate, rng1)
+        x = sp(x + h)
     h = _mlp(p["mlp"], layer_norm(p["norm2"], x), cfg.ffn_layer)
     h = h * p["ls2"].astype(h.dtype)
     if use_dp:

@@ -170,6 +170,162 @@ def flash_attention_packed(q, k, v, heads: int, scale: float,
     return out[:, :n] if pad else out
 
 
+def _attn_proj_kernel(q_ref, k_ref, v_ref, w_ref, gb_ref, x_ref, o_ref,
+                      ofull_ref, *, scale: float, valid_len: int, heads: int):
+    """Attention + out-projection epilogue in one kernel (VERDICT r4 #7).
+
+    Identical per-head software-pipelined attention to ``_attn_kernel_packed``
+    but over ALL heads (single group), followed in-VMEM by the block's
+    out-projection, LayerScale and residual add:
+
+        o_ref = x_ref + gamma * (attn(q,k,v) @ W + b)
+
+    so the (B, N, C) attention output never round-trips HBM between the
+    attention and the projection (reference block.py:82-107 runs these as
+    separate modules).  gb_ref packs [gamma; bias] as a (2, C) fp32 array.
+    """
+    q = q_ref[0]              # (BQ, H*D)
+    k = k_ref[0]              # (NP, H*D)
+    v = v_ref[0]
+    d = q.shape[-1] // heads
+    nb = k.shape[0]
+    bf16 = v.dtype == jnp.bfloat16
+    mask = None
+    if valid_len < nb:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], nb),
+                                       dimension=1)
+        mask = col < valid_len
+
+    def qk(h):
+        return jax.lax.dot_general(
+            q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    s_next = qk(0)
+    for h in range(heads):
+        s = s_next
+        if h + 1 < heads:
+            s_next = qk(h + 1)
+        if mask is not None:
+            s = jnp.where(mask, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp((s - m).astype(jnp.bfloat16)) if bf16 else jnp.exp(s - m)
+        z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        vh = v[:, h * d:(h + 1) * d]
+        o = jax.lax.dot_general(
+            e.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ofull_ref[:, h * d:(h + 1) * d] = (o / z).astype(ofull_ref.dtype)
+    # epilogue: out-projection + LayerScale + residual, all resident in VMEM
+    proj = jax.lax.dot_general(
+        ofull_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gamma = gb_ref[0]
+    bias = gb_ref[1]
+    o_ref[0] = (x_ref[0].astype(jnp.float32)
+                + gamma * (proj + bias)).astype(o_ref.dtype)
+
+
+def attn_proj_fits(n: int, heads: int, dh: int, itemsize: int = 2) -> bool:
+    """Static guard: the fused attention+projection kernel holds full-width
+    K and V plus the (C, C) projection weight in VMEM; engage only when that
+    resident set is comfortably inside the 16 MB budget (vitl C=1024 fits,
+    vitg C=1536 does not — its K alone is 4.3 MB before double-buffering)."""
+    hd = heads * dh
+    np_len = n if n % 16 == 0 else -(-n // 128) * 128
+    resident = 2 * np_len * hd * itemsize + hd * hd * itemsize
+    return hd <= 1024 and dh % 8 == 0 and resident <= 8_000_000
+
+
+def flash_attention_qkv_proj(qkv, w, gamma_bias, x_res, heads: int,
+                             scale: float, valid_len: int | None = None,
+                             block_q: int | None = None):
+    """Fused attention + out-projection + LayerScale + residual.
+
+    qkv: (B, N, 3C) fused-projection output ([q|k|v] lanes, reference
+    dinov2_layers/attention.py:44,51); w: (C, C) projection weight;
+    gamma_bias: (2, C) fp32 [LayerScale gamma; projection bias]; x_res:
+    (B, N, C) residual input.  Returns x_res + gamma*(attn@W + b), i.e. the
+    whole first half of a pre-norm ViT block after norm1 — saving the
+    attention output's HBM round trip and the residual's extra read per
+    block vs the split path (~184 MB/layer at the vitl window shape).
+
+    Single head group: the out-projection contracts over ALL heads, so head
+    groups would turn the grid's group dim into a reduction Pallas can't
+    revisit non-consecutively; instead all heads stay in one cell (resident
+    K/V fits for C<=1024 per ``attn_proj_fits``).
+    """
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // heads
+    if valid_len is None:
+        valid_len = n
+    np_len = n if n % 16 == 0 else -(-n // 128) * 128
+    if block_q is None and os.environ.get("VDA_ATTN_BQ"):
+        block_q = int(os.environ["VDA_ATTN_BQ"])
+    if block_q is None:
+        block_q = np_len
+        if np_len > 768:
+            best = None
+            for div in range(2, np_len // 16 + 1):
+                if np_len % div:
+                    continue
+                bq = np_len // div
+                if bq % 16 or bq * np_len * 4 > 2_200_000:
+                    continue
+                if best is None or abs(bq - 176) < abs(best - 176):
+                    best = bq
+            block_q = best if best is not None else (
+                128 if np_len % 128 == 0 else 16)
+    block_q = min(block_q, np_len)
+    if np_len % block_q:
+        block_q = 128 if np_len % 128 == 0 else 16
+
+    pad = np_len - n
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        x_res = jnp.pad(x_res, ((0, 0), (0, pad), (0, 0)))
+    n_q = np_len // block_q
+
+    kernel = functools.partial(_attn_proj_kernel, scale=scale,
+                               valid_len=valid_len, heads=heads)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_len, hd), lambda b_, i: (b_, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_len, hd), lambda b_, i: (b_, 0, 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hd), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, np_len, hd), x_res.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, hd), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * valid_len * valid_len * hd
+            + 2 * b * np_len * hd * hd,
+            bytes_accessed=(3 + 2) * b * n * hd * qkv.dtype.itemsize
+            + hd * hd * qkv.dtype.itemsize,
+            transcendentals=b * valid_len * valid_len * heads,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, w, gamma_bias, x_res)
+    return out[:, :n] if pad else out
+
+
 def flash_attention_qkv(qkv, heads: int, scale: float,
                         block_q: int | None = None,
                         valid_len: int | None = None):
