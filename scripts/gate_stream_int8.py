@@ -59,6 +59,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+from vda_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+# vitl streaming compiles are 1-4 min each through the remote compile
+# server; without the persistent cache the gate pays them all fresh every
+# run (r5 lesson: the first gate attempt timed out in compiles alone)
+enable_persistent_cache()
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -170,8 +170,9 @@ def flash_attention_packed(q, k, v, heads: int, scale: float,
     return out[:, :n] if pad else out
 
 
-def _attn_proj_kernel(q_ref, k_ref, v_ref, w_ref, gb_ref, x_ref, o_ref,
-                      ofull_ref, *, scale: float, valid_len: int, heads: int):
+def _attn_proj_kernel(q_ref, qkv_hbm, w_hbm, gb_ref, x_ref, o_ref,
+                      k_scr, v_scr, w_scr, ofull_ref, sems, *,
+                      scale: float, valid_len: int, heads: int):
     """Attention + out-projection epilogue in one kernel (VERDICT r4 #7).
 
     Identical per-head software-pipelined attention to ``_attn_kernel_packed``
@@ -183,11 +184,40 @@ def _attn_proj_kernel(q_ref, k_ref, v_ref, w_ref, gb_ref, x_ref, o_ref,
     so the (B, N, C) attention output never round-trips HBM between the
     attention and the projection (reference block.py:82-107 runs these as
     separate modules).  gb_ref packs [gamma; bias] as a (2, C) fp32 array.
+
+    K, V and the projection weight are SINGLE-buffered: the automatic
+    BlockSpec pipeline double-buffers every operand, and at the production
+    np=1408/C=1024 shape full-width K+V (11.5 MB) + W (4 MB) double-buffered
+    blew the 16 MB scoped-VMEM budget (measured 21.69 MB, r5).  Instead the
+    batch row's K/V lanes and W are DMA'd from HBM into persistent scratch
+    once per batch index (i == 0); the blocking wait costs ~7 us per batch
+    row against ~ms of attention compute, and the resident set drops to
+    ~12 MB.
     """
     q = q_ref[0]              # (BQ, H*D)
-    k = k_ref[0]              # (NP, H*D)
-    v = v_ref[0]
     d = q.shape[-1] // heads
+    hd = q.shape[-1]
+    b_idx = pl.program_id(0)
+    i_idx = pl.program_id(1)
+
+    @pl.when(i_idx == 0)
+    def _load():  # noqa: ANN202 — pallas conditional block
+        cp_k = pltpu.make_async_copy(
+            qkv_hbm.at[b_idx, :, pl.ds(hd, hd)], k_scr, sems.at[0])
+        cp_v = pltpu.make_async_copy(
+            qkv_hbm.at[b_idx, :, pl.ds(2 * hd, hd)], v_scr, sems.at[1])
+        # W is grid-constant; re-copying it per batch row (2 MB x B) is
+        # noise next to keeping a second 2 MB pipeline buffer resident
+        cp_w = pltpu.make_async_copy(w_hbm, w_scr, sems.at[2])
+        cp_k.start()
+        cp_v.start()
+        cp_w.start()
+        cp_k.wait()
+        cp_v.wait()
+        cp_w.wait()
+
+    k = k_scr[...]            # (NP, H*D)
+    v = v_scr[...]
     nb = k.shape[0]
     bf16 = v.dtype == jnp.bfloat16
     mask = None
@@ -221,7 +251,7 @@ def _attn_proj_kernel(q_ref, k_ref, v_ref, w_ref, gb_ref, x_ref, o_ref,
         ofull_ref[:, h * d:(h + 1) * d] = (o / z).astype(ofull_ref.dtype)
     # epilogue: out-projection + LayerScale + residual, all resident in VMEM
     proj = jax.lax.dot_general(
-        ofull_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        ofull_ref[...], w_scr[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     gamma = gb_ref[0]
@@ -299,12 +329,8 @@ def flash_attention_qkv_proj(qkv, w, gamma_bias, x_res, heads: int,
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_len, hd), lambda b_, i: (b_, 0, 1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_len, hd), lambda b_, i: (b_, 0, 2),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, hd), lambda b_, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # qkv: K/V lanes DMA'd
+            pl.BlockSpec(memory_space=pltpu.ANY),   # W: DMA'd once per row
             pl.BlockSpec((2, hd), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, hd), lambda b_, i: (b_, i, 0),
@@ -313,7 +339,13 @@ def flash_attention_qkv_proj(qkv, w, gamma_bias, x_res, heads: int,
         out_specs=pl.BlockSpec((1, block_q, hd), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, np_len, hd), x_res.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, hd), qkv.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((np_len, hd), qkv.dtype),    # K (single-buffered)
+            pltpu.VMEM((np_len, hd), qkv.dtype),    # V
+            pltpu.VMEM((hd, hd), w.dtype),          # W
+            pltpu.VMEM((block_q, hd), qkv.dtype),   # per-block attn output
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * valid_len * valid_len * hd
             + 2 * b * np_len * hd * hd,
@@ -322,7 +354,7 @@ def flash_attention_qkv_proj(qkv, w, gamma_bias, x_res, heads: int,
             transcendentals=b * valid_len * valid_len * heads,
         ),
         interpret=_interpret(),
-    )(qkv, qkv, qkv, w, gamma_bias, x_res)
+    )(qkv, qkv, w, gamma_bias, x_res)
     return out[:, :n] if pad else out
 
 
